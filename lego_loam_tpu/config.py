@@ -1,0 +1,339 @@
+"""Typed configuration for the TPU-native LeGO-LOAM rebuild.
+
+Mirrors the reference's ROS parameter surface (`/root/reference/LeGO-LOAM/config/
+loam_config.yaml`) as frozen dataclasses with the three sensor presets (VLP-16,
+VLP-32c, HDL-64E) selected by name, replacing the reference's launch-time
+`lidar_type` argument (`launch/run.launch.py:13-35`).
+
+All angles are radians internally; the YAML's degree-valued keys are converted
+once at construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+DEG = math.pi / 180.0
+
+
+@dataclasses.dataclass(frozen=True)
+class LaserConfig:
+    """Sensor geometry (≙ `laser:` group, loam_config.yaml:4-13)."""
+
+    num_vertical_scans: int = 16
+    num_horizontal_scans: int = 1800
+    vertical_angle_bottom: float = -15.0 * DEG
+    vertical_angle_top: float = 15.0 * DEG
+    sensor_mount_angle: float = 0.0
+    ground_scan_index: int = 7
+    scan_period: float = 0.1
+    # VLP-32c irregular-row quantization step (imageProjection.cpp:356)
+    vlp32c_row_quant: float = 0.335 * DEG
+    use_vlp32c: bool = False
+    use_kitti: bool = False
+    # Max raw points fed to projection (VLP-16 emits ≈28.8k/scan); fixed pad.
+    max_points: int = 32768
+
+    @property
+    def ang_res_x(self) -> float:
+        return 2.0 * math.pi / self.num_horizontal_scans
+
+    @property
+    def ang_res_y(self) -> float:
+        return (self.vertical_angle_top - self.vertical_angle_bottom) / max(
+            self.num_vertical_scans - 1, 1
+        )
+
+    @property
+    def ang_bottom(self) -> float:
+        """Offset added to elevation before row quantization (positive)."""
+        return -self.vertical_angle_bottom
+
+
+@dataclasses.dataclass(frozen=True)
+class SegmentationConfig:
+    """Cluster segmentation (≙ `image_projection:` group, loam_config.yaml:15-18)."""
+
+    segment_valid_point_num: int = 5
+    segment_valid_line_num: int = 3
+    segment_theta: float = 60.0 * DEG
+    # Segments at least this large are always kept (imageProjection.cpp:913)
+    segment_large_point_num: int = 30
+    # Label-propagation sweeps for the connected-components fixed point.
+    # Pointer-jumping doubles reach each sweep; 24 covers a 16x1800 grid
+    # (diameter <= 16*1800 but log2-compressed by path halving).
+    label_prop_iters: int = 24
+
+
+@dataclasses.dataclass(frozen=True)
+class GroundConfig:
+    """Ground removal, both variants (imageProjection.cpp:447-774)."""
+
+    # Upstream variant: slope test threshold (imageProjection.cpp:476)
+    upstream_angle_threshold: float = 10.0 * DEG
+    # "Ours" reference-vector iteration thresholds (imageProjection.cpp:561-571)
+    angle_threshold: float = 12.5 * DEG  # VLP-16 value of D
+    angle_threshold_low: float = 60.0 * DEG  # KITTI rows < 16
+    # ADD pass gates (imageProjection.cpp:644-647)
+    add_dr_ratio: float = 0.061
+    add_dz_max: float = 0.1
+    # ELEVATION pass (imageProjection.cpp:673-698)
+    elevation_init_height: float = -1.3
+    elevation_margin: float = 0.3
+    elevation_min_ground_count: int = 5
+    # NEAR pass + RANSAC recovery (imageProjection.cpp:700-735)
+    near_depth_max: float = 10.0
+    near_reset_depth: float = 5.0
+    ransac_distance_threshold: float = 0.5
+    ransac_iterations: int = 64
+    near_max_points: int = 4096
+    use_ours: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatureConfig:
+    """Feature extraction (≙ `featureAssociation:` group, loam_config.yaml:62-66)."""
+
+    edge_threshold: float = 0.03
+    surf_threshold: float = 0.03
+    nearest_feature_search_distance: float = 5.0
+    # DBSCAN refinement (featureAssociation.cpp:1318-1387; yaml:56-58)
+    dbscan_radius: float = 5.0  # DBFr
+    dbscan_ratio_xy: float = 0.5  # RatioXY
+    dbscan_ratio_z: float = 2.5  # RatioZ
+    dbscan_min_cluster: int = 4
+    # Fork ("Ours") vs upstream picking (featureAssociation.cpp:901-1316)
+    use_ours: bool = True
+    # Upstream sector picking caps (featureAssociation.cpp:931-941)
+    max_sharp_per_sector: int = 2
+    max_less_sharp_per_sector: int = 20
+    max_flat_per_sector: int = 4
+    num_sectors: int = 6
+    # Occlusion marking (featureAssociation.cpp:851-899)
+    occlusion_depth_gap: float = 0.3
+    occlusion_column_gap: int = 10
+    parallel_beam_ratio: float = 0.02
+    # Less-flat voxel downsample leaf (featureAssociation.h VoxelGrid 0.2)
+    less_flat_leaf: float = 0.2
+    # Virtual shadow floor grid (featureAssociation.cpp:412-450)
+    use_shadow_points: bool = True
+    shadow_rows: int = 16
+    shadow_cols: int = 10
+    # Fixed capacities (pad-and-mask)
+    max_corner_sharp: int = 512
+    max_corner_less_sharp: int = 2048
+    max_surf_flat: int = 4096
+    max_surf_less_flat: int = 8192
+
+
+@dataclasses.dataclass(frozen=True)
+class OdometryConfig:
+    """Two-step scan-to-scan solver (featureAssociation.cpp:1846-2535)."""
+
+    max_iterations: int = 25
+    search_every: int = 5
+    # Convergence: deltaR < 0.1 deg, deltaT < 0.1 cm (featureAssociation.cpp:2006)
+    rot_converge_deg: float = 0.1
+    trans_converge_cm: float = 0.1
+    step_scale: float = 0.05  # matB = -0.05 * d2 (featureAssociation.cpp:1951)
+    eigen_threshold: float = 10.0  # degeneracy gate (featureAssociation.cpp:1974)
+    min_correspondences: int = 10
+    # Huber-like correspondence weights (featureAssociation.cpp:1678-1683)
+    weight_slope_corner: float = 1.8
+    weight_slope_surf: float = 1.8
+    weight_min: float = 0.1
+    # Adjacent-ring window for line/plane tripods (featureAssociation.cpp:1601)
+    ring_window: float = 2.5
+    # Wheel-odometry prior mode (fork's updateInitialGuess, :2337-2503).
+    # "off": pure LM (upstream behaviour, default here)
+    # "init": prior seeds LM (upstream-intended behaviour)
+    # "override": prior overwrites LM result (reference as-committed ablation)
+    odom_prior_mode: str = "off"
+    # Lever arm of the wheel-odom frame (featureAssociation.cpp:2396)
+    odom_lever_arm: Tuple[float, float, float] = (0.08, 0.0, 0.0377)
+
+
+@dataclasses.dataclass(frozen=True)
+class MappingConfig:
+    """Scan-to-map optimization (≙ `mapping:` group, loam_config.yaml:21-44)."""
+
+    enable_loop_closure: bool = False
+    surrounding_keyframe_search_radius: float = 50.0
+    surrounding_keyframe_search_num: int = 50
+    history_keyframe_search_radius: float = 15.0
+    history_keyframe_search_num: int = 50
+    history_keyframe_fitness_score: float = 0.5
+    step_size: float = 1.0
+    stop_thres: float = 0.05
+    iter_count_thres: int = 200
+    mapping_frequency_divider: int = 1
+    global_map_visualization_search_radius: float = 5000.0
+    # Keyframe gate: 0.3 m between keyframes (mapOptmization.cpp:1624; the
+    # reference forces it always-true at :1629 — keep that as default)
+    keyframe_gate_distance: float = 0.3
+    keyframe_gate_always: bool = True
+    # Voxel DS leaves (mapOptimization.h downSizeFilter* ctors)
+    corner_leaf: float = 0.2
+    surf_leaf: float = 0.4
+    outlier_leaf: float = 0.4
+    submap_surf_leaf: float = 0.4
+    history_leaf: float = 0.2
+    global_leaf: float = 1.0
+    # Solver gates (mapOptmization.cpp:1444-1570)
+    eigen_threshold: float = 100.0
+    min_corner_map: int = 10
+    min_surf_map: int = 100
+    min_sel: int = 50
+    nn_valid_dist: float = 1.0  # 5th-NN gate (mapOptmization.cpp:1279)
+    plane_valid_dist: float = 0.2  # plane residual gate (:1420)
+    line_ratio: float = 3.0  # eig gate for line fit (:1326)
+    # Map-update ablation: the reference ships with the pose update commented
+    # out (mapOptmization.cpp:1539-1545). We default it ON (the functional
+    # system) and expose the ablation.
+    enable_map_update: bool = True
+    # Fixed capacities
+    max_corner_scan: int = 2048
+    max_surf_scan: int = 8192
+    max_submap_corner: int = 65536
+    max_submap_surf: int = 131072
+    max_keyframes: int = 20480
+    # Loop-closure ICP (mapOptmization.cpp:983-1094)
+    icp_max_iterations: int = 100
+    icp_max_corr_dist: float = 100.0
+    loop_time_gap: float = 30.0
+    loop_every_n_frames: int = 2
+    global_map_every_n_frames: int = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class EskfConfig:
+    """Standalone 18-state error-state KF study (myESKF.{h,cpp})."""
+
+    imu_rate: float = 100.0
+    lidar_rate: float = 10.0
+    gravity: float = 9.81
+    # Continuous-time noise densities (myESKF.cpp nominal values)
+    acc_noise: float = 1e-2
+    gyro_noise: float = 1e-3
+    acc_bias_noise: float = 1e-4
+    gyro_bias_noise: float = 1e-5
+    # Initial covariance diag
+    init_pos_var: float = 1e-4
+    init_vel_var: float = 1e-2
+    init_att_var: float = 1e-4
+    init_bias_var: float = 1e-4
+    init_grav_var: float = 1e-6
+    # Lidar measurement noise (pos + quat residual)
+    lidar_pos_var: float = 1e-4
+    lidar_att_var: float = 1e-4
+    # Ackermann geometry
+    wheel_base: float = 0.335
+    wheel_radius: float = 0.05
+
+
+@dataclasses.dataclass(frozen=True)
+class DistributedConfig:
+    """Multi-chip sharding layout (new capability; no reference equivalent)."""
+
+    mesh_axis_graph: str = "graph"  # factors / keyframes sharded (dp-like)
+    mesh_axis_map: str = "map"  # map blocks sharded (tp-like)
+    cg_iterations: int = 64
+    cg_tolerance: float = 1e-6
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    use_imu_undistortion: bool = False
+    odom_frequency: float = 10.0
+    # Grid-local voxel packing radius for device DS (meters)
+    local_voxel_radius: float = 102.4
+
+
+@dataclasses.dataclass(frozen=True)
+class LegoLoamConfig:
+    laser: LaserConfig = dataclasses.field(default_factory=LaserConfig)
+    ground: GroundConfig = dataclasses.field(default_factory=GroundConfig)
+    segmentation: SegmentationConfig = dataclasses.field(
+        default_factory=SegmentationConfig
+    )
+    features: FeatureConfig = dataclasses.field(default_factory=FeatureConfig)
+    odometry: OdometryConfig = dataclasses.field(default_factory=OdometryConfig)
+    mapping: MappingConfig = dataclasses.field(default_factory=MappingConfig)
+    eskf: EskfConfig = dataclasses.field(default_factory=EskfConfig)
+    distributed: DistributedConfig = dataclasses.field(
+        default_factory=DistributedConfig
+    )
+    pipeline: PipelineConfig = dataclasses.field(default_factory=PipelineConfig)
+
+    def replace(self, **kw) -> "LegoLoamConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def vlp16() -> LegoLoamConfig:
+    """VLP-16 preset (loam_config.yaml:1-67)."""
+    return LegoLoamConfig()
+
+
+def vlp32c() -> LegoLoamConfig:
+    """VLP-32c preset (loam_config.yaml:69-135)."""
+    return LegoLoamConfig(
+        laser=LaserConfig(
+            num_vertical_scans=32,
+            num_horizontal_scans=1800,
+            vertical_angle_bottom=-25.0 * DEG,
+            vertical_angle_top=15.0 * DEG,
+            use_vlp32c=True,
+        ),
+        ground=GroundConfig(angle_threshold=25.0 * DEG),
+        features=FeatureConfig(edge_threshold=0.005, surf_threshold=0.005),
+        mapping=MappingConfig(
+            enable_loop_closure=True,
+            history_keyframe_search_radius=50.0,
+            history_keyframe_search_num=40,
+            history_keyframe_fitness_score=1.5,
+            iter_count_thres=50,
+        ),
+    )
+
+
+def hdl64e() -> LegoLoamConfig:
+    """HDL-64E / KITTI preset (loam_config.yaml:137-203)."""
+    return LegoLoamConfig(
+        laser=LaserConfig(
+            num_vertical_scans=64,
+            num_horizontal_scans=1800,
+            vertical_angle_bottom=-24.8 * DEG,
+            vertical_angle_top=2.0 * DEG,
+            ground_scan_index=50,
+            use_kitti=True,
+            max_points=2 ** 17,
+        ),
+        ground=GroundConfig(angle_threshold=25.0 * DEG),
+        features=FeatureConfig(
+            edge_threshold=0.005,
+            surf_threshold=0.005,
+            nearest_feature_search_distance=25.0,
+            dbscan_radius=7.5,
+            dbscan_ratio_xy=0.3,
+            dbscan_ratio_z=5.0,
+        ),
+        mapping=MappingConfig(
+            enable_loop_closure=True,
+            history_keyframe_search_radius=30.0,
+            history_keyframe_search_num=30,
+            history_keyframe_fitness_score=0.8,
+            iter_count_thres=200,
+        ),
+    )
+
+
+PRESETS = {"VLP-16": vlp16, "VLP-32c": vlp32c, "HDL-64E": hdl64e}
+
+
+def get_config(name: str = "VLP-16") -> LegoLoamConfig:
+    try:
+        return PRESETS[name]()
+    except KeyError:
+        raise KeyError(f"unknown sensor preset {name!r}; have {sorted(PRESETS)}")

@@ -1,0 +1,184 @@
+"""Synthetic VLP-16/32c scan generation by raycasting an analytic world.
+
+The reference repo ships no raw lidar data (the Jackal/Stevens bags are
+external downloads, `README.md:77-111`), so unit, golden, and benchmark runs
+here use a deterministic simulated world: a ground plane, room walls, boxes,
+and cylindrical pillars, raycast per beam. Ground-truth trajectories make ATE
+directly measurable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..config import LegoLoamConfig
+
+
+@dataclasses.dataclass
+class World:
+    """Axis-aligned analytic scene. Units: meters, world z-up, ground z=0."""
+
+    half_x: float = 20.0  # room half-extent in x
+    half_y: float = 15.0
+    wall_height: float = 3.0
+    # Cylindrical pillars: (cx, cy, radius, height)
+    pillars: Sequence[tuple] = (
+        (6.0, 4.0, 0.3, 2.5),
+        (-5.0, -6.0, 0.4, 2.5),
+        (10.0, -5.0, 0.25, 2.5),
+        (-12.0, 7.0, 0.35, 2.5),
+        (2.0, -10.0, 0.3, 2.5),
+        (-8.0, 11.0, 0.3, 2.5),
+        (14.0, 8.0, 0.4, 2.5),
+        (-15.0, -9.0, 0.3, 2.5),
+    )
+    # Boxes: (cx, cy, hx, hy, height)
+    boxes: Sequence[tuple] = (
+        (8.0, 10.0, 1.0, 0.8, 1.2),
+        (-10.0, -2.0, 1.2, 1.0, 1.5),
+        (3.0, 7.0, 0.7, 0.7, 1.0),
+        (-4.0, 9.0, 0.9, 1.1, 1.3),
+        (12.0, 1.0, 1.1, 0.6, 1.1),
+        (-14.0, 3.0, 0.8, 0.8, 0.9),
+    )
+    max_range: float = 80.0
+
+
+def beam_directions(cfg: LegoLoamConfig) -> np.ndarray:
+    """(H, W, 3) unit directions in the sensor frame (x fwd, y left, z up)."""
+    laser = cfg.laser
+    H, W = laser.num_vertical_scans, laser.num_horizontal_scans
+    elev = laser.vertical_angle_bottom + np.arange(H) * laser.ang_res_y
+    # Column k maps back through the projection formula: the projector assigns
+    # col = -round((atan2(x,y) - pi/2)/res) + W/2, so emit azimuth
+    # atan2(x,y) = pi/2 - (col - W/2) * res.
+    az = np.pi / 2.0 - (np.arange(W) - W // 2) * laser.ang_res_x
+    ce, se = np.cos(elev)[:, None], np.sin(elev)[:, None]
+    # atan2(x, y) = az  =>  x = sin(az), y = cos(az) in the horizontal plane
+    dx = ce * np.sin(az)[None, :]
+    dy = ce * np.cos(az)[None, :]
+    dz = np.broadcast_to(se, dx.shape)
+    return np.stack([dx, dy, dz], axis=-1)
+
+
+def _ray_world(origin, dirs, world: World) -> np.ndarray:
+    """Min positive hit distance per ray. origin (3,), dirs (...,3)."""
+    o = origin.reshape((1,) * (dirs.ndim - 1) + (3,))
+    t_best = np.full(dirs.shape[:-1], world.max_range, np.float64)
+
+    def consider(t, valid):
+        nonlocal t_best
+        t = np.where(valid & (t > 0.05), t, np.inf)
+        t_best = np.minimum(t_best, t)
+
+    dz = dirs[..., 2]
+    # Ground plane z=0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = -o[..., 2] / dz
+    consider(t, dz < -1e-9)
+
+    # Room walls: planes x=±half_x, y=±half_y with z in [0, wall_height]
+    for axis, half in ((0, world.half_x), (1, world.half_y)):
+        for sgn in (1.0, -1.0):
+            d = dirs[..., axis]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = (sgn * half - o[..., axis]) / d
+            z = o[..., 2] + t * dz
+            other = 1 - axis
+            u = o[..., other] + t * dirs[..., other]
+            lim = world.half_y if axis == 0 else world.half_x
+            consider(t, (np.abs(d) > 1e-9) & (z >= 0) & (z <= world.wall_height) & (np.abs(u) <= lim))
+
+    # Pillars (vertical cylinders)
+    for cx, cy, r, h in world.pillars:
+        px = o[..., 0] - cx
+        py = o[..., 1] - cy
+        a = dirs[..., 0] ** 2 + dirs[..., 1] ** 2
+        b = 2 * (px * dirs[..., 0] + py * dirs[..., 1])
+        c = px * px + py * py - r * r
+        disc = b * b - 4 * a * c
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (-b - np.sqrt(np.maximum(disc, 0.0))) / (2 * a)
+        z = o[..., 2] + t * dz
+        consider(t, (disc > 0) & (a > 1e-12) & (z >= 0) & (z <= h))
+
+    # Boxes (AABB slab method, z in [0, height])
+    for cx, cy, hx, hy, h in world.boxes:
+        lo = np.array([cx - hx, cy - hy, 0.0])
+        hi = np.array([cx + hx, cy + hy, h])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv = 1.0 / dirs
+        t0 = (lo - o) * inv
+        t1 = (hi - o) * inv
+        tmin = np.max(np.minimum(t0, t1), axis=-1)
+        tmax = np.min(np.maximum(t0, t1), axis=-1)
+        consider(tmin, (tmax >= tmin) & np.isfinite(tmin))
+
+    return t_best
+
+
+def render_scan(
+    R: np.ndarray,
+    t: np.ndarray,
+    cfg: LegoLoamConfig,
+    world: Optional[World] = None,
+    noise: float = 0.0,
+    seed: int = 0,
+    sensor_height: float = 0.6,
+) -> np.ndarray:
+    """Render one scan from world pose (R, t) of the *vehicle* (t z ignored;
+    sensor sits at sensor_height). Returns (H*W, 3) float32 sensor-frame
+    points; misses are NaN rows (like real driver output)."""
+    world = world or World()
+    dirs_s = beam_directions(cfg).astype(np.float64)
+    dirs_w = dirs_s @ R.T
+    origin = np.array([t[0], t[1], sensor_height], np.float64)
+    dist = _ray_world(origin, dirs_w, world)
+    if noise > 0:
+        rs = np.random.RandomState(seed)
+        dist = dist + rs.randn(*dist.shape) * noise
+    hit = np.isfinite(dist) & (dist < world.max_range)
+    pts = dirs_s * dist[..., None]
+    pts = np.where(hit[..., None], pts, np.nan)
+    return pts.reshape(-1, 3).astype(np.float32)
+
+
+def circle_trajectory(n: int, radius: float = 8.0, step_deg: float = 1.0):
+    """Ground-truth poses driving a circle. Returns list of (R, t)."""
+    poses = []
+    for i in range(n):
+        th = np.deg2rad(step_deg) * i
+        yaw = th + np.pi / 2.0
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+        t = np.array([radius * np.cos(th), radius * np.sin(th), 0.0])
+        poses.append((R, t))
+    return poses
+
+
+def straight_trajectory(n: int, speed: float = 0.1, yaw_rate: float = 0.0):
+    """Poses along +x at `speed` m/frame with optional constant yaw rate."""
+    poses = []
+    x = np.zeros(3)
+    yaw = 0.0
+    for i in range(n):
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+        poses.append((R, x.copy()))
+        x = x + R @ np.array([speed, 0.0, 0.0])
+        yaw += yaw_rate
+    return poses
+
+
+def scan_sequence(poses, cfg, world=None, noise=0.0, seed=0):
+    """Render a scan per pose -> (T, H*W, 3) float32."""
+    world = world or World()
+    return np.stack(
+        [
+            render_scan(R, t, cfg, world, noise=noise, seed=seed + i)
+            for i, (R, t) in enumerate(poses)
+        ]
+    )

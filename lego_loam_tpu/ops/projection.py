@@ -1,0 +1,105 @@
+"""Range-image projection: unordered cloud -> (H, W) polar grid.
+
+TPU-native rewrite of `ImageProjection::projectPointCloud`
+(`imageProjection.cpp:301-428`): one vectorized scatter over a fixed-size
+padded point array instead of a per-point loop. Also covers the VLP-32c
+irregular-row mapping (`imageProjection.cpp:349-427`) via a dense-bin
+presence/cumsum instead of host-side sort+unique.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import LegoLoamConfig
+from ..types import ScanGrid
+
+_INVALID_RANGE = jnp.inf
+
+
+def _vlp32c_rows(elev, ang_bottom, quant, max_bins=256):
+    """Map quantized elevation bins to dense row indices.
+
+    The reference sorts the observed bins, uniques them, and linearly scans to
+    find each point's row (`imageProjection.cpp:365-404`). Here: mark observed
+    bins in a fixed table, prefix-sum to get dense indices, gather.
+    """
+    bins = jnp.floor((elev + ang_bottom) / quant).astype(jnp.int32)
+    ok = bins >= 0
+    clamped = jnp.clip(bins, 0, max_bins - 1)
+    present = jnp.zeros((max_bins,), jnp.int32).at[clamped].max(ok.astype(jnp.int32))
+    dense = jnp.cumsum(present) - 1  # row index per bin
+    return jnp.where(ok, dense[clamped], -1), ok
+
+
+def project_point_cloud(points, mask, cfg: LegoLoamConfig) -> ScanGrid:
+    """points: (N, 3) float32 lidar-frame xyz; mask: (N,) bool valid points.
+
+    Returns a ScanGrid with range/xyz/valid/rel_time populated; ground and
+    label are initialized to -1 and filled by later stages.
+    """
+    laser = cfg.laser
+    H, W = laser.num_vertical_scans, laser.num_horizontal_scans
+
+    x, y, z = points[..., 0], points[..., 1], points[..., 2]
+    rng = jnp.sqrt(x * x + y * y + z * z)
+    ok = mask & (rng > 0.1) & jnp.isfinite(rng)
+
+    elev = jnp.arcsin(jnp.where(ok, z / jnp.maximum(rng, 1e-12), 0.0))
+    if laser.use_vlp32c:
+        row, row_ok = _vlp32c_rows(elev, laser.ang_bottom, laser.vlp32c_row_quant)
+        ok = ok & row_ok
+    else:
+        # Nearest-beam assignment. (The reference truncates, imageProjection
+        # .cpp:316 — identical for exact beam angles, but truncation flips
+        # rows on epsilon noise at bin edges.)
+        row = jnp.round((elev + laser.ang_bottom) / laser.ang_res_y).astype(jnp.int32)
+    ok = ok & (row >= 0) & (row < H)
+
+    # Column from azimuth, 0 at -y (rear), increasing clockwise when viewed
+    # from above — matches `columnIdn = -round((atan2(x,y) - pi/2)/res) + W/2`
+    # (imageProjection.cpp:321-323).
+    az = jnp.arctan2(x, y)
+    col = (
+        -jnp.round((az - jnp.pi / 2.0) / laser.ang_res_x).astype(jnp.int32) + W // 2
+    )
+    col = jnp.where(col >= W, col - W, col)
+    ok = ok & (col >= 0) & (col < W)
+
+    # Scatter into the grid; duplicate hits on a cell resolve by min range
+    # (the reference keeps whichever point came last in the packet — min range
+    # is the deterministic, physically-sensible tie-break).
+    flat = jnp.where(ok, row * W + col, H * W)  # overflow slot for invalid
+    grid_rng = jnp.full((H * W + 1,), jnp.float32(_INVALID_RANGE))
+    grid_rng = grid_rng.at[flat].min(jnp.where(ok, rng, _INVALID_RANGE))
+
+    # Winner-take-all xyz: re-scatter point index where this point's range
+    # equals the cell min (ties: min index).
+    won = ok & (rng <= grid_rng[flat] + 0.0)
+    idx_src = jnp.where(won, jnp.arange(points.shape[0], dtype=jnp.int32), 0)
+    grid_idx = jnp.zeros((H * W + 1,), jnp.int32).at[
+        jnp.where(won, flat, H * W)
+    ].max(idx_src)
+
+    valid = (grid_rng[: H * W] < _INVALID_RANGE).reshape(H, W)
+    xyz = jnp.where(
+        valid.reshape(H * W, 1), points[grid_idx[: H * W]], 0.0
+    ).reshape(H, W, 3)
+    rng_grid = grid_rng[: H * W].reshape(H, W)
+
+    # In-scan relative time from column position (one sweep = scan_period);
+    # replaces the start/end-orientation interpolation of `adjustDistortion`
+    # (featureAssociation.cpp:565-789).
+    rel = jnp.broadcast_to(
+        (jnp.arange(W, dtype=jnp.float32) / float(W))[None, :], (H, W)
+    )
+
+    return ScanGrid(
+        xyz=xyz,
+        range=rng_grid,
+        valid=valid,
+        ground=jnp.full((H, W), -1, jnp.int8),
+        label=jnp.full((H, W), -1, jnp.int32),
+        rel_time=jnp.where(valid, rel, 0.0),
+    )

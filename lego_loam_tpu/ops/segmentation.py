@@ -1,0 +1,161 @@
+"""Cluster segmentation on the range image — BFS becomes label propagation.
+
+TPU-native rewrite of `ImageProjection::labelComponents`
+(`imageProjection.cpp:847-931`) and `cloudSegmentation` (`:776-845`). The
+queue-based flood fill is data-dependent and serial; here connected
+components are computed by iterative min-label propagation over the 4-neighbor
+connectivity graph (columns wrap around) with pointer-jumping, which converges
+in O(log diameter) sweeps of pure vector ops.
+
+Segment validity (>=30 px, or >=segment_valid_point_num px spanning
+>=segment_valid_line_num rows) is evaluated with segment-sums over root
+labels, reproducing `labelComponents`'s feasibleSegment rule exactly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import LegoLoamConfig
+from ..types import ScanGrid, SegmentedScan
+
+OUTLIER = 0  # ≙ reference label 999999
+INVALID = -1
+
+
+def _connectivity(grid: ScanGrid, candidate, cfg: LegoLoamConfig):
+    """Edges to the 4 neighbors that pass the angle criterion.
+
+    connected iff d2*sin(a)/(d1 - d2*cos(a)) > tan(segment_theta), with
+    d1=max, d2=min of the two ranges and a the angular step
+    (imageProjection.cpp:893-905). Returns 4 bool (H, W) arrays in order
+    [left, right, up, down] (columns wrap)."""
+    rng = grid.range
+    thr = jnp.tan(cfg.segmentation.segment_theta)
+
+    def edge(a_rng, b_rng, alpha):
+        d1 = jnp.maximum(a_rng, b_rng)
+        d2 = jnp.minimum(a_rng, b_rng)
+        tang = d2 * jnp.sin(alpha) / jnp.maximum(d1 - d2 * jnp.cos(alpha), 1e-9)
+        return tang > thr
+
+    ax, ay = cfg.laser.ang_res_x, cfg.laser.ang_res_y
+    left = (
+        candidate
+        & jnp.roll(candidate, 1, axis=1)
+        & edge(rng, jnp.roll(rng, 1, axis=1), ax)
+    )
+    right = (
+        candidate
+        & jnp.roll(candidate, -1, axis=1)
+        & edge(rng, jnp.roll(rng, -1, axis=1), ax)
+    )
+    # Vertical pairs (i, i+1), symmetric criterion shared by up/down.
+    vpair = candidate[1:, :] & candidate[:-1, :] & edge(rng[1:, :], rng[:-1, :], ay)
+    up = jnp.zeros_like(candidate).at[1:, :].set(vpair)
+    down = jnp.zeros_like(candidate).at[:-1, :].set(vpair)
+    return left, right, up, down
+
+
+def label_components(grid: ScanGrid, cfg: LegoLoamConfig) -> jax.Array:
+    """Returns (H, W) int32: INVALID for non-candidates, OUTLIER for points in
+    infeasible segments, else 1-based component root id."""
+    H, W = grid.range.shape
+    candidate = grid.valid & (grid.ground != 1)  # ≙ _label_mat == 0 cells
+    left, right, up, down = _connectivity(grid, candidate, cfg)
+
+    idx = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
+    big = jnp.int32(H * W)
+    label = jnp.where(candidate, idx, big)
+
+    def sweep(label, _):
+        l = jnp.where(left, jnp.roll(label, 1, axis=1), big)
+        r = jnp.where(right, jnp.roll(label, -1, axis=1), big)
+        u = jnp.full_like(label, big)
+        u = u.at[1:, :].set(jnp.where(up[1:, :], label[:-1, :], big))
+        d = jnp.full_like(label, big)
+        d = d.at[:-1, :].set(jnp.where(down[:-1, :], label[1:, :], big))
+        m = jnp.minimum(jnp.minimum(label, jnp.minimum(l, r)), jnp.minimum(u, d))
+        # pointer jumping: labels are flat indices, chase twice
+        flat = jnp.concatenate([m.reshape(-1), jnp.array([big], jnp.int32)])
+        m = flat[m.reshape(-1)].reshape(H, W)
+        flat = jnp.concatenate([m.reshape(-1), jnp.array([big], jnp.int32)])
+        m = flat[m.reshape(-1)].reshape(H, W)
+        return jnp.where(candidate, jnp.minimum(label, m), big), None
+
+    label, _ = jax.lax.scan(
+        sweep, label, None, length=cfg.segmentation.label_prop_iters
+    )
+
+    # Segment statistics over roots
+    flat = label.reshape(-1)
+    ones = candidate.reshape(-1).astype(jnp.int32)
+    sizes = jax.ops.segment_sum(ones, flat, num_segments=H * W + 1)
+    # distinct-row count per root: mark (root, row) presence then sum rows
+    row_ids = jnp.broadcast_to(jnp.arange(H)[:, None], (H, W)).reshape(-1)
+    pres = jnp.zeros((H * W + 1, H), jnp.int32)
+    pres = pres.at[flat, row_ids].max(ones)
+    row_counts = jnp.sum(pres, axis=1)
+
+    seg = cfg.segmentation
+    feasible = (sizes >= seg.segment_large_point_num) | (
+        (sizes >= seg.segment_valid_point_num)
+        & (row_counts >= seg.segment_valid_line_num)
+    )
+
+    ok = feasible[flat].reshape(H, W)
+    out = jnp.where(candidate, jnp.where(ok, label + 1, OUTLIER), INVALID)
+    return out
+
+
+def segment_cloud(grid: ScanGrid, cfg: LegoLoamConfig) -> tuple[ScanGrid, SegmentedScan]:
+    """≙ `cloudSegmentation` imageProjection.cpp:776-845: keep valid-segment
+    points plus every-5th ground column (always keeping the 5 edge columns),
+    pack each row's keepers to the front, and pull every-5th below-ground-band
+    outlier into a separate cloud."""
+    H, W = grid.range.shape
+    label = label_components(grid, cfg)
+    grid = grid.replace(label=label)
+
+    cols = jnp.broadcast_to(jnp.arange(W)[None, :], (H, W))
+    rows = jnp.broadcast_to(jnp.arange(H)[:, None], (H, W))
+    is_ground = grid.ground == 1
+    ground_keep = is_ground & ((cols % 5 == 0) | (cols <= 5) | (cols >= W - 5))
+    seg_keep = label > 0
+    keep = (seg_keep | ground_keep) & grid.valid
+
+    # Pack keepers to the front of each row preserving column order.
+    order = jnp.argsort(jnp.where(keep, cols, W + cols), axis=1)
+    take = jnp.take_along_axis
+
+    def pack(a):
+        if a.ndim == 2:
+            return take(a, order, axis=1)
+        return take(a, order[..., None], axis=1)
+
+    count = jnp.sum(keep, axis=1)
+    packed_valid = jnp.arange(W)[None, :] < count[:, None]
+
+    # Outliers: infeasible-segment points below the ground band, 1-in-5 cols
+    outlier = (label == OUTLIER) & (rows > cfg.laser.ground_scan_index) & (
+        cols % 5 == 0
+    )
+    No = (H * W) // 5 + 1
+    oflat = outlier.reshape(-1)
+    oorder = jnp.argsort(~oflat)[:No]
+    oxyz = grid.xyz.reshape(-1, 3)[oorder]
+    omask = oflat[oorder]
+
+    seg = SegmentedScan(
+        xyz=jnp.where(packed_valid[..., None], pack(grid.xyz), 0.0),
+        range=jnp.where(packed_valid, pack(grid.range), 0.0),
+        col=jnp.where(packed_valid, pack(cols), 0),
+        ground=jnp.where(packed_valid, pack(is_ground), False),
+        valid=packed_valid,
+        count=count,
+        rel_time=jnp.where(packed_valid, pack(grid.rel_time), 0.0),
+        outlier_xyz=jnp.where(omask[:, None], oxyz, 0.0),
+        outlier_mask=omask,
+    )
+    return grid, seg

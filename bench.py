@@ -1,0 +1,69 @@
+"""Benchmark: full odometry+mapping throughput on one real chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline = the reference's mean map-optimization runtime of 50.16 ms/frame
+(`Result/0318_test/mapt.txt`, BASELINE.md) -> 19.94 scans/s. The north-star
+target is >=100 scans/s/chip (BASELINE.json).
+
+The bench drives the complete per-scan path (projection, ground removal,
+segmentation, feature extraction, two-step scan-to-scan GN, scan-to-map GN,
+keyframe append) over a synthetic Jackal-like drive, steady-state timed after
+warmup/compilation.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_SCANS_PER_SEC = 1000.0 / 50.16
+
+
+def main():
+    import jax
+
+    from lego_loam_tpu.config import vlp16
+    from lego_loam_tpu.io.synthetic import render_scan, straight_trajectory
+    from lego_loam_tpu.pipeline import LegoLoamPipeline
+
+    cfg = vlp16()
+    n_warm = int(os.environ.get("BENCH_WARMUP", "5"))
+    n_meas = int(os.environ.get("BENCH_FRAMES", "30"))
+    n = n_warm + n_meas
+
+    poses = straight_trajectory(n, speed=0.15, yaw_rate=np.deg2rad(1.0))
+    scans = [
+        render_scan(R, t, cfg, noise=0.01, seed=11 + i)
+        for i, (R, t) in enumerate(poses)
+    ]
+
+    pipe = LegoLoamPipeline(cfg)
+
+    for k in range(n_warm):
+        pipe.process_scan(scans[k])
+    # sync
+    jax.block_until_ready(pipe.bstate.t_map)
+
+    t0 = time.perf_counter()
+    for k in range(n_warm, n):
+        pipe.process_scan(scans[k])
+    jax.block_until_ready(pipe.bstate.t_map)
+    dt = time.perf_counter() - t0
+
+    scans_per_sec = n_meas / dt
+    print(
+        json.dumps(
+            {
+                "metric": "scans_per_sec_per_chip",
+                "value": round(scans_per_sec, 2),
+                "unit": "scans/s",
+                "vs_baseline": round(scans_per_sec / REFERENCE_SCANS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,178 @@
+"""Mapping back-end state machine: keyframe store + scan-to-map step.
+
+≙ MapOptimization's run loop (`mapOptmization.cpp:1854-1930`) minus loop
+closure (see `loopclosure.py` / `posegraph.py`). TPU-first design decisions:
+
+- The keyframe store lives in device HBM as fixed-capacity ring arrays; the
+  whole mapping step (submap selection, assembly, GN refinement, keyframe
+  append) is ONE jitted program — no host round trip per scan.
+- Keyframe selection = nearest surrounding_keyframe_search_num active
+  keyframes within the search radius by top-k over distances (≙ the kd-tree
+  radius search + downsample of extractSurroundingKeyFrames,
+  mapOptmization.cpp:1096-1232).
+- The keyframe gate reproduces saveKeyFramesAndFactor's 0.3 m rule including
+  the fork's always-true override (mapOptmization.cpp:1624-1629).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .config import LegoLoamConfig
+from .mapping import MapDiag, assemble_submap, map_prior, scan_to_map
+from .math import se3
+from .ops.voxel import voxel_downsample_masked
+from .types import ScanFeatures
+
+
+class BackendState(struct.PyTreeNode):
+    kf_R: jax.Array  # (K, 3, 3)
+    kf_t: jax.Array  # (K, 3)
+    kf_time: jax.Array  # (K,)
+    kf_corner: jax.Array  # (K, Nc, 3) sensor-frame corner cloud per keyframe
+    kf_corner_mask: jax.Array  # (K, Nc)
+    kf_surf: jax.Array  # (K, Ns, 3) sensor-frame surf+outlier cloud
+    kf_surf_mask: jax.Array  # (K, Ns)
+    # Odometry-chain measurement from keyframe k-1 to k, recorded at append
+    # time (feeds the pose-graph BetweenFactor chain, ≙ mapOptmization.cpp:
+    # 1661-1673). Identity for k=0.
+    kf_rel_R: jax.Array  # (K, 3, 3)
+    kf_rel_t: jax.Array  # (K, 3)
+    n_kf: jax.Array  # () int32
+    R_map: jax.Array  # (3,3) latest mapped pose
+    t_map: jax.Array  # (3,)
+    R_odom: jax.Array  # (3,3) odometry pose at latest mapping
+    t_odom: jax.Array  # (3,)
+
+
+# Per-keyframe cloud capacities (post-voxel-DS).
+KF_CORNER_CAP = 1024
+KF_SURF_CAP = 4096
+
+
+def init_backend_state(cfg: LegoLoamConfig) -> BackendState:
+    K = cfg.mapping.max_keyframes
+    return BackendState(
+        kf_R=jnp.tile(jnp.eye(3)[None], (K, 1, 1)),
+        kf_t=jnp.zeros((K, 3)),
+        kf_time=jnp.zeros((K,)),
+        kf_corner=jnp.zeros((K, KF_CORNER_CAP, 3)),
+        kf_corner_mask=jnp.zeros((K, KF_CORNER_CAP), bool),
+        kf_surf=jnp.zeros((K, KF_SURF_CAP, 3)),
+        kf_surf_mask=jnp.zeros((K, KF_SURF_CAP), bool),
+        kf_rel_R=jnp.tile(jnp.eye(3)[None], (K, 1, 1)),
+        kf_rel_t=jnp.zeros((K, 3)),
+        n_kf=jnp.int32(0),
+        R_map=jnp.eye(3),
+        t_map=jnp.zeros(3),
+        R_odom=jnp.eye(3),
+        t_odom=jnp.zeros(3),
+    )
+
+
+def downsample_current_scan(features: ScanFeatures, outlier_xyz, outlier_mask, cfg):
+    """≙ downsampleCurrentScan (mapOptmization.cpp:1234-1267): corners at
+    corner_leaf, surf+outlier at surf_leaf."""
+    m = cfg.mapping
+    c_xyz, c_m = voxel_downsample_masked(
+        features.corner_less_sharp.xyz,
+        features.corner_less_sharp.mask,
+        m.corner_leaf,
+        cfg.pipeline.local_voxel_radius,
+    )
+    s_all = jnp.concatenate([features.surf_less_flat.xyz, outlier_xyz], axis=0)
+    s_mask = jnp.concatenate([features.surf_less_flat.mask, outlier_mask], axis=0)
+    s_xyz, s_m = voxel_downsample_masked(
+        s_all, s_mask, m.surf_leaf, cfg.pipeline.local_voxel_radius
+    )
+    return (
+        c_xyz[: m.max_corner_scan],
+        c_m[: m.max_corner_scan],
+        s_xyz[: m.max_surf_scan],
+        s_m[: m.max_surf_scan],
+    )
+
+
+def _select_keyframes(state: BackendState, center, cfg: LegoLoamConfig):
+    """Nearest K active keyframes within the search radius."""
+    m = cfg.mapping
+    K = state.kf_t.shape[0]
+    active = jnp.arange(K) < state.n_kf
+    d = jnp.linalg.norm(state.kf_t - center[None, :], axis=1)
+    d = jnp.where(active & (d < m.surrounding_keyframe_search_radius), d, jnp.inf)
+    sel = min(m.surrounding_keyframe_search_num, K)
+    neg, idx = jax.lax.top_k(-d, sel)
+    valid = jnp.isfinite(-neg)
+    return idx, valid
+
+
+def backend_step(
+    state: BackendState,
+    features: ScanFeatures,
+    outlier_xyz,
+    outlier_mask,
+    R_odom, t_odom,  # current odometry pose (front-end frame)
+    time,  # scan timestamp (scalar)
+    cfg: LegoLoamConfig,
+):
+    """One mapping iteration. Returns (new_state, (R_map, t_map), MapDiag)."""
+    m = cfg.mapping
+
+    R_prior, t_prior = map_prior(
+        state.R_map, state.t_map, state.R_odom, state.t_odom, R_odom, t_odom
+    )
+
+    c_xyz, c_m, s_xyz, s_m = downsample_current_scan(
+        features, outlier_xyz, outlier_mask, cfg
+    )
+
+    idx, valid = _select_keyframes(state, t_prior, cfg)
+    submap = assemble_submap(
+        state.kf_corner[idx],
+        state.kf_corner_mask[idx],
+        state.kf_surf[idx],
+        state.kf_surf_mask[idx],
+        state.kf_R[idx],
+        state.kf_t[idx],
+        valid,
+        t_prior,
+        cfg,
+    )
+
+    R_new, t_new, diag = scan_to_map(
+        c_xyz, c_m, s_xyz, s_m, R_prior, t_prior, submap, cfg
+    )
+
+    # Keyframe gate (mapOptmization.cpp:1612-1630)
+    last_idx = jnp.maximum(state.n_kf - 1, 0)
+    moved = jnp.linalg.norm(state.kf_t[last_idx] - t_new) > m.keyframe_gate_distance
+    is_kf = (state.n_kf == 0) | moved | bool(m.keyframe_gate_always)
+    slot = jnp.minimum(state.n_kf, state.kf_t.shape[0] - 1)
+
+    def append(s: BackendState) -> BackendState:
+        rel_R, rel_t = se3.relative(s.kf_R[last_idx], s.kf_t[last_idx], R_new, t_new)
+        first = s.n_kf == 0
+        rel_R = jnp.where(first, jnp.eye(3), rel_R)
+        rel_t = jnp.where(first, jnp.zeros(3), rel_t)
+        return s.replace(
+            kf_rel_R=s.kf_rel_R.at[slot].set(rel_R),
+            kf_rel_t=s.kf_rel_t.at[slot].set(rel_t),
+            kf_R=s.kf_R.at[slot].set(R_new),
+            kf_t=s.kf_t.at[slot].set(t_new),
+            kf_time=s.kf_time.at[slot].set(time),
+            kf_corner=s.kf_corner.at[slot].set(c_xyz[:KF_CORNER_CAP]),
+            kf_corner_mask=s.kf_corner_mask.at[slot].set(c_m[:KF_CORNER_CAP]),
+            kf_surf=s.kf_surf.at[slot].set(s_xyz[:KF_SURF_CAP]),
+            kf_surf_mask=s.kf_surf_mask.at[slot].set(s_m[:KF_SURF_CAP]),
+            n_kf=jnp.minimum(s.n_kf + 1, s.kf_t.shape[0]),
+        )
+
+    state = jax.lax.cond(is_kf, append, lambda s: s, state)
+    state = state.replace(
+        R_map=R_new, t_map=t_new, R_odom=R_odom, t_odom=t_odom
+    )
+    return state, (R_new, t_new), diag

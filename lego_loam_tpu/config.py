@@ -132,12 +132,15 @@ class FeatureConfig:
 class OdometryConfig:
     """Two-step scan-to-scan solver (featureAssociation.cpp:1846-2535)."""
 
-    max_iterations: int = 25
+    max_iterations: int = 30
     search_every: int = 5
     # Convergence: deltaR < 0.1 deg, deltaT < 0.1 cm (featureAssociation.cpp:2006)
     rot_converge_deg: float = 0.1
     trans_converge_cm: float = 0.1
-    step_scale: float = 0.05  # matB = -0.05 * d2 (featureAssociation.cpp:1951)
+    # Full Gauss-Newton steps. (The reference damps by 0.05 via
+    # `matB = -0.05 * d2`, featureAssociation.cpp:1951, and compensates with
+    # up to 100 iterations; exact steps converge in a handful.)
+    step_scale: float = 1.0
     eigen_threshold: float = 10.0  # degeneracy gate (featureAssociation.cpp:1974)
     min_correspondences: int = 10
     # Huber-like correspondence weights (featureAssociation.cpp:1678-1683)

@@ -1,0 +1,230 @@
+"""Multi-chip sharding: distributed pose-graph solve + sharded map matching.
+
+The reference is single-process/single-machine (SURVEY.md §2.2); this module
+is the new capability mandated by the north star: keyframes/factors and map
+blocks sharded across a TPU mesh with XLA collectives.
+
+Layout:
+- mesh axes ("graph", "map"): pose-graph *factors* are sharded across the
+  whole mesh (data-parallel-like); the scan-to-map *submap points* are
+  sharded across the whole mesh too (tensor-parallel-like over the NN
+  search dimension). Poses and scan queries are replicated — they are tiny.
+- Pose-graph normal equations: each device computes H-matvec/gradient
+  contributions for its factor shard; `psum` over the mesh reduces them.
+  This is the Schur-free factor-parallel form of distributed bundle
+  adjustment; the CG loop runs replicated on all devices with psum'd
+  matvecs, so the only communication per CG iteration is one (N,6) psum.
+- Scan-to-map NN: each device top-k's its submap shard (local MXU matmul),
+  then the per-device candidates are all-gathered and merged — a k-way
+  distributed top-k.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from .config import LegoLoamConfig
+from .math import se3
+from .posegraph import Factors, factor_jacobians, factor_residuals
+from .ops.knn import pairwise_sqdist
+
+_BIG = jnp.float32(1e30)
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    devs = np.array(devs[:n])
+    if n >= 4 and n % 2 == 0:
+        shape = (n // 2, 2)
+    else:
+        shape = (n, 1)
+    return Mesh(devs.reshape(shape), ("graph", "map"))
+
+
+# ---------------------------------------------------------------------------
+# Distributed pose graph
+# ---------------------------------------------------------------------------
+
+
+def sharded_pose_graph_solver(mesh: Mesh, cfg: LegoLoamConfig, gn_iters: int = 3,
+                              prior_w: float = 1e6):
+    """Returns a jitted (poses_R, poses_t, factors, active) -> (R, t) solver
+    with factors sharded over the full mesh."""
+
+    fspec = Factors(
+        i=P(("graph", "map")),
+        j=P(("graph", "map")),
+        R=P(("graph", "map")),
+        t=P(("graph", "map")),
+        info=P(("graph", "map")),
+        mask=P(("graph", "map")),
+    )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), fspec, P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    def solve(poses_R, poses_t, f: Factors, active_mask):
+        N = poses_R.shape[0]
+        active = active_mask[:, None].astype(poses_t.dtype)
+
+        def psum(x):
+            return jax.lax.psum(jax.lax.psum(x, "graph"), "map")
+
+        def gn_body(_, carry):
+            R, t = carry
+            r = factor_residuals(R, t, f)
+            Ji, Jj = factor_jacobians(R, t, f, r)
+
+            wr = r * f.info * f.mask[:, None]
+            gi = jnp.einsum("fba,fb->fa", Ji, wr)
+            gj = jnp.einsum("fba,fb->fa", Jj, wr)
+            g = jax.ops.segment_sum(gi, f.i, num_segments=N)
+            g = g + jax.ops.segment_sum(gj, f.j, num_segments=N)
+            g = psum(g)
+            b = -g * active
+
+            # block-diag preconditioner (psum'd)
+            w = f.info * f.mask[:, None]
+            Oi = jnp.einsum("fba,fb,fbc->fac", Ji, w, Ji)
+            Oj = jnp.einsum("fba,fb,fbc->fac", Jj, w, Jj)
+            B = jax.ops.segment_sum(Oi, f.i, num_segments=N)
+            B = B + jax.ops.segment_sum(Oj, f.j, num_segments=N)
+            B = psum(B)
+            B = B.at[0].add(prior_w * jnp.eye(6))
+            Minv = jnp.linalg.inv(B + 1e-6 * jnp.eye(6)[None])
+
+            def mv(x):
+                xi = x[f.i]
+                xj = x[f.j]
+                a = jnp.einsum("fab,fb->fa", Ji, xi) + jnp.einsum(
+                    "fab,fb->fa", Jj, xj
+                )
+                a = a * w
+                yi = jnp.einsum("fba,fb->fa", Ji, a)
+                yj = jnp.einsum("fba,fb->fa", Jj, a)
+                y = jax.ops.segment_sum(yi, f.i, num_segments=N)
+                y = y + jax.ops.segment_sum(yj, f.j, num_segments=N)
+                y = psum(y)
+                y = y.at[0].add(prior_w * x[0])
+                return y * active
+
+            def apply_M(x):
+                return jnp.einsum("nab,nb->na", Minv, x) * active
+
+            x = jnp.zeros_like(b)
+            res = b
+            z = apply_M(res)
+            p = z
+            rz = jnp.sum(res * z)
+
+            def cg_body(_, s):
+                x, res, p, rz = s
+                Ap = mv(p)
+                denom = jnp.sum(p * Ap)
+                alpha = jnp.where(jnp.abs(denom) > 1e-12, rz / denom, 0.0)
+                x = x + alpha * p
+                res = res - alpha * Ap
+                z = apply_M(res)
+                rz2 = jnp.sum(res * z)
+                beta = jnp.where(jnp.abs(rz) > 1e-12, rz2 / rz, 0.0)
+                return x, res, z + beta * p, rz2
+
+            x, _, _, _ = jax.lax.fori_loop(
+                0, cfg.distributed.cg_iterations, cg_body, (x, res, p, rz)
+            )
+
+            dR, dt = se3.exp_se3(x)
+            R_new = R @ dR
+            t_new = jnp.einsum("nij,nj->ni", R, dt) + t
+            keep = active_mask[:, None]
+            return (
+                jnp.where(keep[..., None], R_new, R),
+                jnp.where(keep, t_new, t),
+            )
+
+        return jax.lax.fori_loop(0, gn_iters, gn_body, (poses_R, poses_t))
+
+    return jax.jit(solve)
+
+
+# ---------------------------------------------------------------------------
+# Sharded scan-to-map matching
+# ---------------------------------------------------------------------------
+
+
+def sharded_map_gn_step(mesh: Mesh, cfg: LegoLoamConfig):
+    """One 6-DoF GN mapping iteration with the submap sharded across the mesh.
+
+    Queries (current scan) are replicated; each device computes 5-NN
+    candidates within its submap shard; candidates are all-gathered and
+    merged; the H/g reduction is replicated (identical on all devices)."""
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(), P(),
+            P(("graph", "map")), P(("graph", "map")),
+            P(), P(),
+        ),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    def step(q_surf, q_mask, map_xyz, map_mask, R, t):
+        k = 5
+        q = q_surf @ R.T + t
+        d2 = pairwise_sqdist(q, map_xyz)
+        d2 = jnp.where(map_mask[None, :], d2, _BIG)
+        neg, idx = jax.lax.top_k(-d2, k)  # local candidates
+        cand_d = -neg  # (Q, k)
+        cand_p = map_xyz[idx]  # (Q, k, 3)
+
+        # merge across devices
+        all_d = jax.lax.all_gather(cand_d, "map", axis=1, tiled=True)
+        all_d = jax.lax.all_gather(all_d, "graph", axis=1, tiled=True)
+        all_p = jax.lax.all_gather(cand_p, "map", axis=1, tiled=True)
+        all_p = jax.lax.all_gather(all_p, "graph", axis=1, tiled=True)
+
+        order = jnp.argsort(all_d, axis=1)[:, :k]
+        nbr = jnp.take_along_axis(all_p, order[..., None], axis=1)  # (Q,5,3)
+        d5 = jnp.take_along_axis(all_d, order, axis=1)
+        ok = q_mask & (d5[:, 4] < cfg.mapping.nn_valid_dist)
+
+        # plane fit residuals (same math as mapping._surf_residuals)
+        from .mapping import plane_fit_lsq
+
+        x = plane_fit_lsq(nbr)
+        norm = jnp.linalg.norm(x, axis=-1)
+        n = x / jnp.maximum(norm, 1e-12)[:, None]
+        d_off = 1.0 / jnp.maximum(norm, 1e-12)
+        fitd = jnp.abs(jnp.einsum("qki,qi->qk", nbr, n) + d_off[:, None])
+        plane_ok = jnp.all(fitd < cfg.mapping.plane_valid_dist, axis=1)
+        pd = jnp.sum(n * q, axis=-1) + d_off
+        qn = jnp.linalg.norm(q, axis=-1)
+        s = 1.0 - 0.9 * jnp.abs(pd) / jnp.sqrt(jnp.maximum(qn, 1e-9))
+        w = jnp.where(ok & plane_ok & (s > 0.1), s, 0.0)
+
+        Jw = jnp.cross(q, n)
+        J = jnp.concatenate([Jw, n], axis=-1) * w[:, None]
+        r = pd * w
+        H = J.T @ J
+        g = J.T @ r
+        evals, evecs = jnp.linalg.eigh(H)
+        keep = (evals >= cfg.mapping.eigen_threshold).astype(H.dtype)
+        ginv = jnp.where(evals > 1e-9, 1.0 / jnp.maximum(evals, 1e-9), 0.0)
+        delta = -(evecs @ ((evecs.T @ g) * ginv * keep))
+        dR, dt = se3.exp_se3(delta)
+        return se3.compose(dR, dt, R, t)
+
+    return jax.jit(step)

@@ -1,0 +1,154 @@
+"""Front-end composition: raw cloud -> features -> scan-to-scan odometry.
+
+One jitted program per scan covering the reference's ImageProjection node and
+FeatureAssociation node (`imageProjection.cpp` + `featureAssociation.cpp`),
+with the ROS topic plumbing replaced by pure array state threading
+(OdometryState).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .config import LegoLoamConfig
+from .math import se3
+from .odometry import to_scan_end, two_step_odometry
+from .ops.features import extract_features, shadow_points
+from .ops.ground import apply_ground
+from .ops.projection import project_point_cloud
+from .ops.segmentation import segment_cloud
+from .types import FeatureCloud, OdometryState, ScanFeatures, SegmentedScan
+
+
+def init_odometry_state(cfg: LegoLoamConfig) -> OdometryState:
+    f = cfg.features
+    empty_corner = FeatureCloud(
+        xyz=jnp.zeros((f.max_corner_less_sharp, 3)),
+        ring=jnp.full((f.max_corner_less_sharp,), -1, jnp.int32),
+        rel_time=jnp.zeros((f.max_corner_less_sharp,)),
+        mask=jnp.zeros((f.max_corner_less_sharp,), bool),
+    )
+    n_surf = f.max_surf_less_flat + f.shadow_rows * f.shadow_cols
+    empty_surf = FeatureCloud(
+        xyz=jnp.zeros((n_surf, 3)),
+        ring=jnp.full((n_surf,), -1, jnp.int32),
+        rel_time=jnp.zeros((n_surf,)),
+        mask=jnp.zeros((n_surf,), bool),
+    )
+    return OdometryState(
+        R_prev_cur=jnp.eye(3),
+        t_prev_cur=jnp.zeros(3),
+        R_world=jnp.eye(3),
+        t_world=jnp.zeros(3),
+        last_corner=empty_corner,
+        last_surf=empty_surf,
+        initialized=jnp.bool_(False),
+    )
+
+
+def _with_shadow(surf: FeatureCloud, cfg: LegoLoamConfig) -> FeatureCloud:
+    """Append the virtual shadow grid to a (padded) surf cloud — the
+    reference injects them into the previous-scan surf kd-tree as well
+    (featureAssociation.cpp:2304-2306, :2705-2707)."""
+    sp = shadow_points(cfg)
+    nsp = sp.shape[0]
+    return FeatureCloud(
+        xyz=jnp.concatenate([surf.xyz, sp], axis=0),
+        ring=jnp.concatenate(
+            [surf.ring, jnp.full((nsp,), cfg.laser.num_vertical_scans + 1, jnp.int32)]
+        ),
+        rel_time=jnp.concatenate([surf.rel_time, jnp.ones((nsp,))]),
+        mask=jnp.concatenate(
+            [surf.mask, jnp.full((nsp,), cfg.features.use_shadow_points, bool)]
+        ),
+    )
+
+
+def stage1(points, mask, cfg: LegoLoamConfig, key=None):
+    """Projection + ground + segmentation (≙ ImageProjection::cloudHandler)."""
+    grid = project_point_cloud(points, mask, cfg)
+    grid = apply_ground(grid, cfg, key)
+    return segment_cloud(grid, cfg)
+
+
+def frontend_step(points, mask, state: OdometryState, cfg: LegoLoamConfig, key=None):
+    """Full per-scan front end (≙ runFeatureAssociation,
+    featureAssociation.cpp:2742-2853). Returns (new_state, outputs)."""
+    grid, seg = stage1(points, mask, cfg, key)
+    feats = extract_features(seg, cfg)
+
+    if not cfg.pipeline.use_imu_undistortion:
+        # Raw clouds are treated as rigid (all points at scan end): disables
+        # the constant-twist warp, matching use_imu_undistortion=false runs
+        # where the reference still warps mid-scan points by the motion
+        # estimate but our synthetic/offline clouds are rigid per frame.
+        feats = jax.tree.map(lambda x: x, feats)
+        feats = ScanFeatures(
+            corner_sharp=feats.corner_sharp.replace(
+                rel_time=jnp.ones_like(feats.corner_sharp.rel_time)
+            ),
+            corner_less_sharp=feats.corner_less_sharp.replace(
+                rel_time=jnp.ones_like(feats.corner_less_sharp.rel_time)
+            ),
+            surf_flat=feats.surf_flat.replace(
+                rel_time=jnp.ones_like(feats.surf_flat.rel_time)
+            ),
+            surf_less_flat=feats.surf_less_flat.replace(
+                rel_time=jnp.ones_like(feats.surf_less_flat.rel_time)
+            ),
+        )
+
+    # Seed with constant velocity (last inter-frame motion).
+    M_R0, M_t0 = state.R_prev_cur, state.t_prev_cur
+
+    def solve(_):
+        return two_step_odometry(
+            feats, state.last_corner, state.last_surf, M_R0, M_t0, cfg
+        )
+
+    def first(_):
+        return jnp.eye(3), jnp.zeros(3)
+
+    M_R, M_t = jax.lax.cond(state.initialized, solve, first, None)
+
+    # World pose integration: T_w_cur = T_w_prev ∘ M
+    R_world, t_world = se3.compose(state.R_world, state.t_world, M_R, M_t)
+
+    # Re-project this scan's features to scan end and stash as next targets
+    # (≙ publishCloudsLast buffer swap, featureAssociation.cpp:2660-2740).
+    new_corner = to_scan_end(feats.corner_less_sharp, M_R, M_t)
+    new_surf = to_scan_end(feats.surf_less_flat, M_R, M_t)
+    new_surf = _with_shadow(new_surf, cfg)
+
+    new_state = OdometryState(
+        R_prev_cur=M_R,
+        t_prev_cur=M_t,
+        R_world=R_world,
+        t_world=t_world,
+        last_corner=new_corner,
+        last_surf=new_surf,
+        initialized=jnp.bool_(True),
+    )
+    outputs = {
+        "grid": grid,
+        "segmented": seg,
+        "features": feats,
+        "M_R": M_R,
+        "M_t": M_t,
+        "R_world": R_world,
+        "t_world": t_world,
+    }
+    return new_state, outputs
+
+
+def make_frontend(cfg: LegoLoamConfig):
+    """Jitted per-scan front-end step."""
+
+    @jax.jit
+    def step(points, mask, state, key):
+        return frontend_step(points, mask, state, cfg, key)
+
+    return step

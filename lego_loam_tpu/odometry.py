@@ -1,0 +1,239 @@
+"""Scan-to-scan odometry: correspondence search + two-step Gauss-Newton.
+
+TPU-native rewrite of the FeatureAssociation solver
+(`featureAssociation.cpp:1580-2535`). Differences from the reference by
+design:
+
+- Pose is SE(3) (rotation matrix + translation), optimized on-manifold with
+  twist increments, instead of euler closed forms in the LOAM camera frame.
+- The two-step split keeps the reference's DOF structure in lidar axes:
+  step A solves (roll, pitch, tz) from planar features
+  (≙ `calculateTransformationSurf` solving camera rx/rz/ty, :1846-2010);
+  step B solves (yaw, tx, ty) from corners (≙ `calculateTransformationCorner`
+  :2013-2143).
+- kd-tree + adjacent-ring walks become dense masked distance matrices
+  (`ops/knn.py`) with ring-window masks; support-point indices are cached
+  between periodic re-searches (≙ the iterCount%5 refresh, :1588) while the
+  residual geometry is re-evaluated every iteration, as the reference does.
+- Degeneracy handling keeps the eigenvalue-gate projection
+  (eig < 10 -> direction removed, :1959-1990).
+
+The motion M maps current-scan-end coordinates to previous-scan-end
+coordinates; a point captured at relative time s is matched after applying
+interp(M, s) (constant-twist interpolation, ≙ TransformToStart's fractional
+euler scaling :1389-1412).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import LegoLoamConfig
+from .math import se3
+from .ops.knn import pairwise_sqdist, masked_nn_where
+from .types import FeatureCloud, ScanFeatures
+
+_BIG = jnp.float32(1e30)
+
+
+def _apply_motion(M_R, M_t, cloud: FeatureCloud):
+    """interp(M, s) p per point."""
+    Ri, ti = se3.interp(M_R, M_t, cloud.rel_time)
+    return jnp.einsum("nij,nj->ni", Ri, cloud.xyz) + ti
+
+
+# ---------------------------------------------------------------------------
+# Correspondence search (indices) and evaluation (geometry), split so the
+# solver can cache indices across iterations.
+# ---------------------------------------------------------------------------
+
+
+def corner_search(q_xyz, query: FeatureCloud, target: FeatureCloud, cfg):
+    """NN + nearest-on-adjacent-ring support pair for point-to-line.
+
+    ≙ findCorrespondingCornerFeatures search phase (:1589-1644)."""
+    o = cfg.odometry
+    max_d2 = cfg.features.nearest_feature_search_distance ** 2
+    d2 = pairwise_sqdist(q_xyz, target.xyz)
+    i1, d1 = masked_nn_where(d2, target.mask[None, :] & query.mask[:, None])
+    ring1 = target.ring[i1]
+    dring = jnp.abs(target.ring[None, :] - ring1[:, None]).astype(jnp.float32)
+    adj = (dring > 0.5) & (dring <= o.ring_window) & target.mask[None, :]
+    i2, d22 = masked_nn_where(d2, adj & query.mask[:, None])
+    ok = query.mask & (d1 < max_d2) & (d22 < max_d2)
+    return i1, i2, ok
+
+
+def corner_eval(q_xyz, t1, t2, ok, late, cfg):
+    """Point-to-line residual vs cached support points (:1646-1695)."""
+    o = cfg.odometry
+    u = t1 - t2
+    c = jnp.cross(q_xyz - t1, q_xyz - t2)
+    cn = jnp.linalg.norm(c, axis=-1)
+    un = jnp.linalg.norm(u, axis=-1)
+    dist = cn / jnp.maximum(un, 1e-9)
+    n = jnp.cross(u, c / jnp.maximum(cn, 1e-12)[:, None]) / jnp.maximum(
+        un, 1e-9
+    )[:, None]
+    s = jnp.where(late, 1.0 - o.weight_slope_corner * jnp.abs(dist), 1.0)
+    w = jnp.where(ok & (s > o.weight_min) & (dist > 1e-9), s, 0.0)
+    return n, dist, w
+
+
+def surf_search(q_xyz, query: FeatureCloud, target: FeatureCloud, cfg):
+    """NN + same-or-lower-ring + higher-ring support triple for point-to-plane.
+
+    ≙ findCorrespondingSurfFeatures search phase (:1722-1800)."""
+    o = cfg.odometry
+    max_d2 = cfg.features.nearest_feature_search_distance ** 2
+    d2 = pairwise_sqdist(q_xyz, target.xyz)
+    i1, d1 = masked_nn_where(d2, target.mask[None, :] & query.mask[:, None])
+    ring1 = target.ring[i1]
+    dring = (target.ring[None, :] - ring1[:, None]).astype(jnp.float32)
+    in_win = (jnp.abs(dring) <= o.ring_window) & target.mask[None, :]
+    not_nn = jnp.arange(target.xyz.shape[0])[None, :] != i1[:, None]
+    i2, d22 = masked_nn_where(d2, in_win & (dring <= 0) & not_nn & query.mask[:, None])
+    i3, d23 = masked_nn_where(d2, in_win & (dring > 0) & query.mask[:, None])
+    ok = query.mask & (d1 < max_d2) & (d22 < max_d2) & (d23 < max_d2)
+    return i1, i2, i3, ok
+
+
+def surf_eval(q_xyz, t1, t2, t3, ok, late, cfg):
+    """Point-to-plane residual vs cached support points (:1802-1842)."""
+    o = cfg.odometry
+    n = jnp.cross(t2 - t1, t3 - t1)
+    nn = jnp.linalg.norm(n, axis=-1)
+    n = n / jnp.maximum(nn, 1e-12)[:, None]
+    pd = jnp.sum(n * (q_xyz - t1), axis=-1)
+    qn = jnp.linalg.norm(q_xyz, axis=-1)
+    s = jnp.where(
+        late,
+        1.0
+        - o.weight_slope_surf
+        * jnp.abs(pd)
+        / jnp.sqrt(jnp.sqrt(jnp.maximum(qn, 1e-9))),
+        1.0,
+    )
+    w = jnp.where(ok & (s > o.weight_min) & (nn > 1e-12), s, 0.0)
+    return n, pd, w
+
+
+# ---------------------------------------------------------------------------
+# Gauss-Newton
+# ---------------------------------------------------------------------------
+
+
+def _gn_step(q_xyz, rel_time, n, d, w, dof_idx, cfg: LegoLoamConfig):
+    """One masked-DOF Gauss-Newton step with degeneracy projection.
+
+    dof_idx: static (3,) int array naming the active twist components.
+    Returns the 6-twist increment and the (deg, cm) step norms used for the
+    convergence test (≙ featureAssociation.cpp:2002-2010)."""
+    o = cfg.odometry
+    s = rel_time[:, None]
+    Jw = jnp.cross(q_xyz, n) * s
+    Jv = n * s
+    J = jnp.concatenate([Jw, Jv], axis=-1)[:, dof_idx] * w[:, None]
+    r = d * w
+
+    H = J.T @ J
+    g = J.T @ r
+
+    evals, evecs = jnp.linalg.eigh(H)
+    keep = (evals >= o.eigen_threshold).astype(H.dtype)
+    ginv = jnp.where(evals > 1e-12, 1.0 / jnp.maximum(evals, 1e-12), 0.0)
+    delta3 = -(evecs @ ((evecs.T @ g) * ginv * keep)) * o.step_scale
+
+    n_valid = jnp.sum(w > 0)
+    delta3 = jnp.where(n_valid >= o.min_correspondences, delta3, 0.0)
+    delta = jnp.zeros((6,)).at[dof_idx].set(delta3)
+    rot_deg = jnp.linalg.norm(delta[:3]) * 180.0 / jnp.pi
+    trans_cm = jnp.linalg.norm(delta[3:]) * 100.0
+    return delta, rot_deg, trans_cm
+
+
+def _solve_stage(M_R, M_t, query, target, search_fn, eval_fn, n_sup, dof_mask, cfg):
+    """GN iterations with periodic index refresh (≙ updateTransformation
+    loops, featureAssociation.cpp:2505-2535)."""
+    o = cfg.odometry
+    dof_idx = jnp.asarray(np.nonzero(np.asarray(dof_mask))[0])
+    Q = query.xyz.shape[0]
+
+    def cond(state):
+        it, _, _, _, _, done = state
+        return (it < o.max_iterations) & ~done
+
+    def body(state):
+        it, R, t, sup_idx, ok, _ = state
+        late = it >= 5
+        q_xyz = _apply_motion(R, t, query)
+
+        def refresh(_):
+            res = search_fn(q_xyz, query, target, cfg)
+            return jnp.stack(res[:-1], axis=0), res[-1]
+
+        sup_idx, ok = jax.lax.cond(
+            (it % o.search_every) == 0, refresh, lambda x: x, (sup_idx, ok)
+        )
+        sup = [target.xyz[sup_idx[k]] for k in range(n_sup)]
+        n, d, w = eval_fn(q_xyz, *sup, ok, late, cfg)
+        delta, rot_deg, trans_cm = _gn_step(
+            q_xyz, query.rel_time, n, d, w, dof_idx, cfg
+        )
+        dR, dt = se3.exp_se3(delta)
+        R_new, t_new = se3.compose(dR, dt, R, t)
+        done = (rot_deg < o.rot_converge_deg) & (trans_cm < o.trans_converge_cm)
+        return it + 1, R_new, t_new, sup_idx, ok, done
+
+    init = (
+        jnp.int32(0),
+        M_R,
+        M_t,
+        jnp.zeros((n_sup, Q), jnp.int32),
+        jnp.zeros((Q,), bool),
+        jnp.bool_(False),
+    )
+    _, R, t, _, _, _ = jax.lax.while_loop(cond, body, init)
+    return R, t
+
+
+SURF_DOFS = (True, True, False, False, False, True)  # roll, pitch, tz
+CORNER_DOFS = (False, False, True, True, True, False)  # yaw, tx, ty
+FULL_DOFS = (True,) * 6
+
+
+def two_step_odometry(
+    features: ScanFeatures,
+    last_corner: FeatureCloud,
+    last_surf: FeatureCloud,
+    M_R_init,
+    M_t_init,
+    cfg: LegoLoamConfig,
+):
+    """Full two-step solve. Returns refined (R, t) motion estimate."""
+    R, t = _solve_stage(
+        M_R_init, M_t_init,
+        features.surf_flat, last_surf,
+        surf_search, surf_eval, 3, SURF_DOFS, cfg,
+    )
+    R, t = _solve_stage(
+        R, t,
+        features.corner_sharp, last_corner,
+        corner_search, corner_eval, 2, CORNER_DOFS, cfg,
+    )
+    return R, t
+
+
+def to_scan_end(cloud: FeatureCloud, M_R, M_t) -> FeatureCloud:
+    """Re-express feature points in the scan-end frame (≙ TransformToEnd,
+    featureAssociation.cpp:1414-1490): apply interp(M, s - 1)."""
+    Ri, ti = se3.interp(M_R, M_t, cloud.rel_time - 1.0)
+    xyz = jnp.einsum("nij,nj->ni", Ri, cloud.xyz) + ti
+    return cloud.replace(
+        xyz=jnp.where(cloud.mask[:, None], xyz, 0.0),
+        rel_time=jnp.ones_like(cloud.rel_time),
+    )

@@ -1,0 +1,80 @@
+"""Masked brute-force nearest neighbors on the MXU.
+
+Replaces the reference's nanoflann kd-trees (`nanoflann_pcl.h`) for the
+scan-to-scan correspondence search. Feature clouds are a few hundred to a few
+thousand points, so a dense distance matrix (one matmul + norms) beats any
+tree on TPU; ring-window constraints become masks on the same matrix.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_BIG = jnp.float32(1e30)
+
+
+def pairwise_sqdist(q, t):
+    """(Q,3),(T,3) -> (Q,T) squared distances via the MXU."""
+    qq = jnp.sum(q * q, axis=-1, keepdims=True)
+    tt = jnp.sum(t * t, axis=-1)[None, :]
+    qt = q @ t.T
+    return jnp.maximum(qq + tt - 2.0 * qt, 0.0)
+
+
+def masked_nn(d2, t_mask):
+    """Nearest valid target per query: returns (idx, sqdist)."""
+    d2m = jnp.where(t_mask[None, :], d2, _BIG)
+    idx = jnp.argmin(d2m, axis=1)
+    return idx, jnp.take_along_axis(d2m, idx[:, None], axis=1)[:, 0]
+
+
+def masked_nn_where(d2, cond):
+    """Nearest target per query among a per-(query,target) condition mask."""
+    d2m = jnp.where(cond, d2, _BIG)
+    idx = jnp.argmin(d2m, axis=1)
+    return idx, jnp.take_along_axis(d2m, idx[:, None], axis=1)[:, 0]
+
+
+def top_k_sqdist(d2, t_mask, k):
+    """k nearest valid targets: (Q,k) idx, (Q,k) sqdist."""
+    d2m = jnp.where(t_mask[None, :], d2, _BIG)
+    neg, idx = jax.lax.top_k(-d2m, k)
+    return idx, -neg
+
+
+def chunked_top_k(query, q_mask, target, t_mask, k, chunk=4096):
+    """Top-k NN of (Q,3) against a large (T,3) without materializing QxT.
+
+    Streams target chunks through a fori_loop, merging running top-k; the per
+    chunk work is one (Q, chunk) matmul — MXU-bound. Used for scan-to-map
+    association where T ~ 1e5 (replaces kd-tree submap search,
+    mapOptmization.cpp:1275-1285)."""
+    Q = query.shape[0]
+    T = target.shape[0]
+    nchunks = (T + chunk - 1) // chunk
+    pad = nchunks * chunk - T
+    tgt = jnp.concatenate([target, jnp.zeros((pad, 3), target.dtype)], axis=0)
+    tm = jnp.concatenate([t_mask, jnp.zeros((pad,), bool)], axis=0)
+
+    best_d = jnp.full((Q, k), _BIG)
+    best_i = jnp.full((Q, k), -1, jnp.int32)
+
+    def body(c, carry):
+        best_d, best_i = carry
+        sl = c * chunk
+        tc = jax.lax.dynamic_slice(tgt, (sl, 0), (chunk, 3))
+        mc = jax.lax.dynamic_slice(tm, (sl,), (chunk,))
+        d2 = pairwise_sqdist(query, tc)
+        d2 = jnp.where(mc[None, :], d2, _BIG)
+        neg, idx = jax.lax.top_k(-d2, k)
+        cand_d = jnp.concatenate([best_d, -neg], axis=1)
+        cand_i = jnp.concatenate([best_i, idx + sl], axis=1)
+        order = jnp.argsort(cand_d, axis=1)[:, :k]
+        return (
+            jnp.take_along_axis(cand_d, order, axis=1),
+            jnp.take_along_axis(cand_i, order, axis=1),
+        )
+
+    best_d, best_i = jax.lax.fori_loop(0, nchunks, body, (best_d, best_i))
+    return best_i, best_d

@@ -1,0 +1,167 @@
+"""Backend tests: scan-to-map GN, pose graph, loop-closure ICP, pipeline."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lego_loam_tpu.config import vlp16
+
+
+def small_cfg():
+    """CPU-sized capacities for tests."""
+    cfg = vlp16()
+    feats = dataclasses.replace(
+        cfg.features,
+        max_corner_sharp=512,
+        max_corner_less_sharp=1024,
+        max_surf_flat=2048,
+        max_surf_less_flat=4096,
+    )
+    mapping = dataclasses.replace(
+        cfg.mapping,
+        max_corner_scan=1024,
+        max_surf_scan=4096,
+        max_submap_corner=16384,
+        max_submap_surf=32768,
+        max_keyframes=128,
+    )
+    dist = dataclasses.replace(cfg.distributed, cg_iterations=32)
+    return dataclasses.replace(cfg, features=feats, mapping=mapping, distributed=dist)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return small_cfg()
+
+
+def test_icp_recovers_offset(cfg):
+    from lego_loam_tpu.loopclosure import icp_point2point
+
+    rs = np.random.RandomState(0)
+    tgt = rs.uniform(-5, 5, (2000, 3)).astype(np.float32)
+    from lego_loam_tpu.math import se3
+
+    R_true = np.asarray(se3.exp_so3(jnp.asarray([0.02, -0.01, 0.05])))
+    t_true = np.array([0.3, -0.2, 0.1], np.float32)
+    src = ((tgt - t_true) @ R_true).astype(np.float32)  # src s.t. R src + t = tgt
+
+    res = icp_point2point(
+        jnp.asarray(src),
+        jnp.ones(len(src), bool),
+        jnp.asarray(tgt),
+        jnp.ones(len(tgt), bool),
+        cfg,
+    )
+    np.testing.assert_allclose(np.asarray(res.R), R_true, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(res.t), t_true, atol=1e-3)
+    assert float(res.fitness) < 1e-4
+
+
+def test_pose_graph_closes_loop(cfg):
+    """Drifted chain + exact loop factor -> corrected endpoints."""
+    from lego_loam_tpu.math import se3
+    from lego_loam_tpu.posegraph import Factors, solve_pose_graph
+
+    N = 32
+    # Ground truth: square-ish loop back to start
+    gt_R = [np.eye(3)]
+    gt_t = [np.zeros(3)]
+    for k in range(1, N):
+        yaw = 2 * np.pi * k / N
+        c, s = np.cos(yaw), np.sin(yaw)
+        gt_R.append(np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]]))
+        gt_t.append(np.array([np.sin(yaw) * 5, 5 - np.cos(yaw) * 5, 0.0]))
+    gt_R = np.stack(gt_R).astype(np.float32)
+    gt_t = np.stack(gt_t).astype(np.float32)
+
+    # Odometry measurements = GT relatives + drift noise
+    rs = np.random.RandomState(1)
+    mi, mj, mR, mt = [], [], [], []
+    for k in range(N - 1):
+        Rr = gt_R[k].T @ gt_R[k + 1]
+        tr = gt_R[k].T @ (gt_t[k + 1] - gt_t[k])
+        dw = rs.randn(3) * 0.005
+        Rn = np.asarray(se3.exp_so3(jnp.asarray(dw))) @ Rr
+        tn = tr + rs.randn(3) * 0.02
+        mi.append(k)
+        mj.append(k + 1)
+        mR.append(Rn)
+        mt.append(tn)
+    # loop factor: pose N-1 -> pose 0 exact
+    Rl = gt_R[N - 1].T @ gt_R[0]
+    tl = gt_R[N - 1].T @ (gt_t[0] - gt_t[N - 1])
+    mi.append(N - 1)
+    mj.append(0)
+    mR.append(Rl)
+    mt.append(tl)
+
+    F = len(mi)
+    factors = Factors(
+        i=jnp.asarray(np.array(mi, np.int32)),
+        j=jnp.asarray(np.array(mj, np.int32)),
+        R=jnp.asarray(np.stack(mR).astype(np.float32)),
+        t=jnp.asarray(np.stack(mt).astype(np.float32)),
+        info=jnp.asarray(
+            np.concatenate(
+                [np.tile([[1e4] * 3 + [1e4] * 3], (F - 1, 1)), [[1e6] * 6]]
+            ).astype(np.float32)
+        ),
+        mask=jnp.ones(F, bool),
+    )
+
+    # Initial poses: integrate the noisy odometry (drifts from GT)
+    init_R = [gt_R[0]]
+    init_t = [gt_t[0]]
+    for k in range(N - 1):
+        R_next = init_R[k] @ mR[k]
+        t_next = init_R[k] @ mt[k] + init_t[k]
+        init_R.append(R_next)
+        init_t.append(t_next)
+    init_R = np.stack(init_R).astype(np.float32)
+    init_t = np.stack(init_t).astype(np.float32)
+
+    drift_before = np.linalg.norm(init_t[-1] - gt_t[-1])
+
+    outR, outt = solve_pose_graph(
+        jnp.asarray(init_R),
+        jnp.asarray(init_t),
+        factors,
+        jnp.ones(N, bool),
+        cfg,
+    )
+    outt = np.asarray(outt)
+    # Loop-pinned endpoint snaps back to GT; interior poses are bounded by the
+    # measurement-noise floor (~0.02*sqrt(N)), not by the pre-solve drift.
+    end_err = np.linalg.norm(outt[-1] - gt_t[-1])
+    assert end_err < 0.05, (drift_before, end_err)
+    max_err = np.linalg.norm(outt - gt_t, axis=1).max()
+    assert max_err < drift_before * 0.5, (drift_before, max_err)
+
+
+def test_pipeline_mapping_ate(cfg):
+    """Full odometry+mapping on a short synthetic drive."""
+    from lego_loam_tpu.io.synthetic import render_scan, straight_trajectory
+    from lego_loam_tpu.pipeline import LegoLoamPipeline
+
+    n = 8
+    poses = straight_trajectory(n, speed=0.2, yaw_rate=np.deg2rad(1.5))
+    scans = np.stack(
+        [render_scan(R, t, cfg, noise=0.005, seed=3 + i) for i, (R, t) in enumerate(poses)]
+    )
+
+    pipe = LegoLoamPipeline(cfg)
+    out = pipe.run(scans)
+
+    gt = np.stack([t for _, t in poses])
+    from lego_loam_tpu.utils.metrics import ate_rmse
+
+    ate_map = ate_rmse(out["map_positions"], gt, align=False)
+    ate_fused = ate_rmse(out["fused_positions"], gt, align=False)
+    assert ate_map < 0.12, f"map ATE {ate_map:.3f}"
+    assert ate_fused < 0.15, f"fused ATE {ate_fused:.3f}"
+    # diagnostics recorded per frame
+    assert len(pipe.diagnostics["iterations"]) == n
+    assert int(pipe.bstate.n_kf) == n

@@ -26,7 +26,7 @@ from .config import LegoLoamConfig
 from .mapping import MapDiag, assemble_submap, map_prior, scan_to_map
 from .math import se3
 from .ops.voxel import voxel_downsample_masked
-from .types import ScanFeatures
+from .types import MapState, ScanFeatures
 
 
 class BackendState(struct.PyTreeNode):
@@ -47,6 +47,10 @@ class BackendState(struct.PyTreeNode):
     t_map: jax.Array  # (3,)
     R_odom: jax.Array  # (3,3) odometry pose at latest mapping
     t_odom: jax.Array  # (3,)
+    # Cached assembled submap (rebuilt per the submap_rebuild policy)
+    submap: MapState
+    submap_center: jax.Array  # (3,) position at last rebuild
+    submap_n_kf: jax.Array  # () n_kf at last rebuild
 
 
 # Per-keyframe cloud capacities (post-voxel-DS).
@@ -71,6 +75,14 @@ def init_backend_state(cfg: LegoLoamConfig) -> BackendState:
         t_map=jnp.zeros(3),
         R_odom=jnp.eye(3),
         t_odom=jnp.zeros(3),
+        submap=MapState(
+            corner_xyz=jnp.zeros((cfg.mapping.max_submap_corner, 3)),
+            corner_mask=jnp.zeros((cfg.mapping.max_submap_corner,), bool),
+            surf_xyz=jnp.zeros((cfg.mapping.max_submap_surf, 3)),
+            surf_mask=jnp.zeros((cfg.mapping.max_submap_surf,), bool),
+        ),
+        submap_center=jnp.full((3,), 1e9),
+        submap_n_kf=jnp.int32(-1),
     )
 
 
@@ -130,17 +142,35 @@ def backend_step(
         features, outlier_xyz, outlier_mask, cfg
     )
 
-    idx, valid = _select_keyframes(state, t_prior, cfg)
-    submap = assemble_submap(
-        state.kf_corner[idx],
-        state.kf_corner_mask[idx],
-        state.kf_surf[idx],
-        state.kf_surf_mask[idx],
-        state.kf_R[idx],
-        state.kf_t[idx],
-        valid,
-        t_prior,
-        cfg,
+    # Rebuild the cached submap only when the vehicle moved far enough or
+    # enough new keyframes landed (see MappingConfig.submap_rebuild_*).
+    moved_far = (
+        jnp.linalg.norm(t_prior - state.submap_center) > m.submap_rebuild_dist
+    )
+    stale = (state.n_kf - state.submap_n_kf) >= m.submap_rebuild_every
+    need_rebuild = moved_far | stale | (state.n_kf < 5)
+
+    def rebuild(_):
+        idx, valid = _select_keyframes(state, t_prior, cfg)
+        sm = assemble_submap(
+            state.kf_corner[idx],
+            state.kf_corner_mask[idx],
+            state.kf_surf[idx],
+            state.kf_surf_mask[idx],
+            state.kf_R[idx],
+            state.kf_t[idx],
+            valid,
+            t_prior,
+            cfg,
+        )
+        return sm, t_prior, state.n_kf
+
+    def cached(_):
+        return state.submap, state.submap_center, state.submap_n_kf
+
+    submap, sm_center, sm_nkf = jax.lax.cond(need_rebuild, rebuild, cached, None)
+    state = state.replace(
+        submap=submap, submap_center=sm_center, submap_n_kf=sm_nkf
     )
 
     R_new, t_new, diag = scan_to_map(

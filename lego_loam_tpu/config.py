@@ -132,8 +132,8 @@ class FeatureConfig:
 class OdometryConfig:
     """Two-step scan-to-scan solver (featureAssociation.cpp:1846-2535)."""
 
-    max_iterations: int = 30
-    search_every: int = 5
+    max_iterations: int = 18
+    search_every: int = 3
     # Convergence: deltaR < 0.1 deg, deltaT < 0.1 cm (featureAssociation.cpp:2006)
     rot_converge_deg: float = 0.1
     trans_converge_cm: float = 0.1
@@ -184,6 +184,19 @@ class MappingConfig:
     submap_surf_leaf: float = 0.4
     history_leaf: float = 0.2
     global_leaf: float = 1.0
+    # Correspondence re-search period inside the GN loop. (The reference
+    # rebuilds kd-NN every iteration, mapOptmization.cpp:1596-1599; with
+    # full GN steps the pose moves little after iteration ~2, so periodic
+    # refresh trades negligible accuracy for most of the NN cost.)
+    search_every: int = 3
+    max_gn_iterations: int = 12
+    # Submap rebuild policy: the reference re-assembles the submap every frame
+    # (extractSurroundingKeyFrames); with a 50 m search radius the selected
+    # set barely changes between 10 Hz frames, so the assembled+downsampled
+    # submap is cached and rebuilt only after the vehicle moves
+    # submap_rebuild_dist meters or submap_rebuild_every keyframes land.
+    submap_rebuild_dist: float = 1.0
+    submap_rebuild_every: int = 10
     # Solver gates (mapOptmization.cpp:1444-1570)
     eigen_threshold: float = 100.0
     min_corner_map: int = 10
@@ -197,10 +210,10 @@ class MappingConfig:
     # system) and expose the ablation.
     enable_map_update: bool = True
     # Fixed capacities
-    max_corner_scan: int = 2048
-    max_surf_scan: int = 8192
-    max_submap_corner: int = 65536
-    max_submap_surf: int = 131072
+    max_corner_scan: int = 1024
+    max_surf_scan: int = 4096
+    max_submap_corner: int = 16384
+    max_submap_surf: int = 65536
     max_keyframes: int = 20480
     # Loop-closure ICP (mapOptmization.cpp:983-1094)
     icp_max_iterations: int = 100

@@ -81,13 +81,12 @@ def assemble_submap(
     )
 
 
-def _corner_residuals(q, q_mask, submap: MapState, cfg: LegoLoamConfig):
+def _corner_residuals(q, q_mask, idx, submap: MapState, cfg: LegoLoamConfig):
     """5-NN line-fit point-to-line residuals (mapOptmization.cpp:1269-1377)."""
     mcfg = cfg.mapping
-    idx, d2 = chunked_top_k(q, q_mask, submap.corner_xyz, submap.corner_mask, 5)
-    ok = q_mask & (d2[:, 4] < mcfg.nn_valid_dist)
-
     nbr = submap.corner_xyz[idx]  # (Q, 5, 3)
+    d2_now = jnp.sum((nbr - q[:, None, :]) ** 2, axis=-1)
+    ok = q_mask & (jnp.max(d2_now, axis=1) < mcfg.nn_valid_dist)
     c = jnp.mean(nbr, axis=1)
     dcen = nbr - c[:, None, :]
     cov = jnp.einsum("qki,qkj->qij", dcen, dcen) / 5.0
@@ -124,13 +123,12 @@ def plane_fit_lsq(nbr):
     )
 
 
-def _surf_residuals(q, q_mask, submap: MapState, cfg: LegoLoamConfig):
+def _surf_residuals(q, q_mask, idx, submap: MapState, cfg: LegoLoamConfig):
     """5-NN plane-fit point-to-plane residuals (mapOptmization.cpp:1379-1442)."""
     mcfg = cfg.mapping
-    idx, d2 = chunked_top_k(q, q_mask, submap.surf_xyz, submap.surf_mask, 5)
-    ok = q_mask & (d2[:, 4] < mcfg.nn_valid_dist)
-
     nbr = submap.surf_xyz[idx]  # (Q, 5, 3)
+    d2_now = jnp.sum((nbr - q[:, None, :]) ** 2, axis=-1)
+    ok = q_mask & (jnp.max(d2_now, axis=1) < mcfg.nn_valid_dist)
     x = plane_fit_lsq(nbr)
     norm = jnp.linalg.norm(x, axis=-1)
     n = x / jnp.maximum(norm, 1e-12)[:, None]
@@ -162,15 +160,24 @@ def scan_to_map(
     )
 
     def cond(state):
-        it, _, _, done, _, _ = state
-        return (it < min(m.iter_count_thres, 30)) & ~done
+        it, _, _, done, _, _, _, _ = state
+        return (it < min(m.iter_count_thres, m.max_gn_iterations)) & ~done
 
     def body(state):
-        it, R, t, _, _, _ = state
+        it, R, t, _, _, _, idx_c, idx_s = state
         qc = corner_xyz @ R.T + t
         qs = surf_xyz @ R.T + t
-        nc, dc, wc = _corner_residuals(qc, corner_mask, submap, cfg)
-        ns, ds_, ws = _surf_residuals(qs, surf_mask, submap, cfg)
+
+        def refresh(_):
+            ic, _d = chunked_top_k(qc, corner_mask, submap.corner_xyz, submap.corner_mask, 5)
+            isf, _d2 = chunked_top_k(qs, surf_mask, submap.surf_xyz, submap.surf_mask, 5)
+            return ic, isf
+
+        idx_c, idx_s = jax.lax.cond(
+            (it % m.search_every) == 0, refresh, lambda x: x, (idx_c, idx_s)
+        )
+        nc, dc, wc = _corner_residuals(qc, corner_mask, idx_c, submap, cfg)
+        ns, ds_, ws = _surf_residuals(qs, surf_mask, idx_s, submap, cfg)
 
         q = jnp.concatenate([qc, qs], axis=0)
         n = jnp.concatenate([nc, ns], axis=0)
@@ -202,10 +209,14 @@ def scan_to_map(
             n_sel < m.min_sel
         ) | ~enough
         cf_mean = jnp.sum(jnp.abs(r)) / jnp.maximum(n_sel, 1)
-        return it + 1, R_new, t_new, done, evals[0], cf_mean
+        return it + 1, R_new, t_new, done, evals[0], cf_mean, idx_c, idx_s
 
-    init = (jnp.int32(0), R0, t0, jnp.bool_(False), jnp.float32(0), jnp.float32(0))
-    it, R, t, _, min_lambda, cf_mean = jax.lax.while_loop(cond, body, init)
+    init = (
+        jnp.int32(0), R0, t0, jnp.bool_(False), jnp.float32(0), jnp.float32(0),
+        jnp.zeros((corner_xyz.shape[0], 5), jnp.int32),
+        jnp.zeros((surf_xyz.shape[0], 5), jnp.int32),
+    )
+    it, R, t, _, min_lambda, cf_mean, _, _ = jax.lax.while_loop(cond, body, init)
 
     diag = MapDiag(
         iterations=it,

@@ -106,21 +106,16 @@ def _suppression_reach(col, window: int, max_gap: int):
     return reach
 
 
-def _nms_extremum(score, cand, col, window=5, max_gap=10, mode="max"):
-    """Pick candidates that are the strict window extremum among candidates,
-    honoring the gap-stop rule. Parallel stand-in for the reference's greedy
-    sort-and-suppress sweep."""
+def _nms_round(score, cand, col, window, max_gap, mode):
+    """One round: candidates that are the window extremum among candidates."""
     filled = jnp.where(cand, score, -_BIG if mode == "max" else _BIG)
     best = filled
     for k, ok in _suppression_reach(col, window, max_gap):
         nei = jnp.roll(filled, -k, axis=1)
         nei = jnp.where(ok, nei, -_BIG if mode == "max" else _BIG)
         best = jnp.maximum(best, nei) if mode == "max" else jnp.minimum(best, nei)
-    # Tie-break by position: a point wins only if it equals the window
-    # extremum and is the first such point in the window (avoid duplicate
-    # picks of plateau values).
     is_ext = cand & (filled == best)
-    # suppress later plateau duplicates within the window
+    # plateau tie-break: drop later duplicates within the window
     earlier = jnp.zeros_like(is_ext)
     for k, ok in _suppression_reach(col, window, max_gap):
         if k < 0:
@@ -128,6 +123,25 @@ def _nms_extremum(score, cand, col, window=5, max_gap=10, mode="max"):
             same = jnp.roll(filled, -k, axis=1) == filled
             earlier = earlier | (nei & same & ok)
     return is_ext & ~earlier
+
+
+def _nms_extremum(score, cand, col, window=5, max_gap=10, mode="max", rounds=2):
+    """Iterated local-extremum suppression — parallel stand-in for the
+    reference's greedy sort-and-suppress sweep (featureAssociation.cpp:
+    1175-1206). Each round picks window extrema among remaining candidates
+    and removes their suppression footprints; two rounds recover close to
+    the greedy pick density (one local-max round alone is ~2x sparser)."""
+    picked = jnp.zeros_like(cand)
+    remaining = cand
+    for _ in range(rounds):
+        sel = _nms_round(score, remaining, col, window, max_gap, mode)
+        picked = picked | sel
+        # remove picks and their suppression reach from candidacy
+        blocked = sel
+        for k, ok in _suppression_reach(col, window, max_gap):
+            blocked = blocked | (jnp.roll(sel, k, axis=1) & ok)
+        remaining = remaining & ~blocked
+    return picked
 
 
 def _gather_rows(seg: SegmentedScan, pick, cap: int, extra=None):

@@ -43,15 +43,17 @@ def top_k_sqdist(d2, t_mask, k):
     return idx, -neg
 
 
-def chunked_top_k(query, q_mask, target, t_mask, k, chunk=4096):
+def chunked_top_k(query, q_mask, target, t_mask, k, chunk=16384):
     """Top-k NN of (Q,3) against a large (T,3) without materializing QxT.
 
-    Streams target chunks through a fori_loop, merging running top-k; the per
-    chunk work is one (Q, chunk) matmul — MXU-bound. Used for scan-to-map
-    association where T ~ 1e5 (replaces kd-tree submap search,
-    mapOptmization.cpp:1275-1285)."""
+    Streams target chunks through a fori_loop, merging running top-k via the
+    TPU-native `approx_min_k` (SortUnit-accelerated, ~0.95 recall — ample for
+    5-NN surface association); the per-chunk work is one (Q, chunk) matmul.
+    Replaces the reference's kd-tree submap search
+    (mapOptmization.cpp:1275-1285)."""
     Q = query.shape[0]
     T = target.shape[0]
+    chunk = min(chunk, T)
     nchunks = (T + chunk - 1) // chunk
     pad = nchunks * chunk - T
     tgt = jnp.concatenate([target, jnp.zeros((pad, 3), target.dtype)], axis=0)
@@ -67,8 +69,8 @@ def chunked_top_k(query, q_mask, target, t_mask, k, chunk=4096):
         mc = jax.lax.dynamic_slice(tm, (sl,), (chunk,))
         d2 = pairwise_sqdist(query, tc)
         d2 = jnp.where(mc[None, :], d2, _BIG)
-        neg, idx = jax.lax.top_k(-d2, k)
-        cand_d = jnp.concatenate([best_d, -neg], axis=1)
+        vals, idx = jax.lax.approx_min_k(d2, k)
+        cand_d = jnp.concatenate([best_d, vals], axis=1)
         cand_i = jnp.concatenate([best_i, idx + sl], axis=1)
         order = jnp.argsort(cand_d, axis=1)[:, :k]
         return (

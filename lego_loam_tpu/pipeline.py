@@ -11,12 +11,21 @@ Latest-wins semantics of the FA->MO channel (`main.cpp:11`) map to
 `mapping_frequency_divider`: mapping runs every Nth scan, odometry every
 scan, and `fuse_pose` provides odometry-rate fused output (≙ TransformFusion,
 /integrated_to_init).
+
+PERFORMANCE CONTRACT: `process_scan` performs ZERO device->host reads in the
+steady state — per-frame outputs are retained as device arrays (async
+futures) and materialized in bulk via `jax.device_get` only when
+`finalize()` / `run()` / `save_artifacts()` is called. (On a relay-attached
+TPU a single blocking scalar read costs ~8 ms and `np.asarray` on device
+arrays takes a pathological path; `jax.device_get` is the only fast exit.)
+Loop closure, which needs host decisions, syncs only every
+`loop_every_n_frames` frames when enabled.
 """
 
 from __future__ import annotations
 
 import time as _time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np
@@ -45,8 +54,9 @@ class LoopFactor:
 class LegoLoamPipeline:
     """End-to-end odometry + mapping (+ optional loop closure)."""
 
-    def __init__(self, cfg: LegoLoamConfig, seed: int = 0):
+    def __init__(self, cfg: LegoLoamConfig, seed: int = 0, profile: bool = False):
         self.cfg = cfg
+        self.profile = profile
         self._key = jax.random.PRNGKey(seed)
 
         self._frontend = jax.jit(
@@ -55,7 +65,8 @@ class LegoLoamPipeline:
         self._backend = jax.jit(
             lambda state, feats, oxyz, omask, R, t, tm: backend_step(
                 state, feats, oxyz, omask, R, t, tm, cfg
-            )
+            ),
+            donate_argnums=(0,),
         )
         self._icp = jax.jit(
             lambda src, sm, tgt, tm, R0, t0: icp_point2point(
@@ -70,10 +81,18 @@ class LegoLoamPipeline:
         self.bstate: BackendState = init_backend_state(cfg)
         self.loop_factors: list[LoopFactor] = []
         self.frame_idx = 0
-        self.trajectory = {"positions": [], "rpys": [], "times": []}
-        self.odom_trajectory = []
-        self.fused_trajectory = []
+        # Device-array logs (materialized lazily in finalize()).
+        self._dev_log = {
+            "odom_t": [],
+            "map_R": [],
+            "map_t": [],
+            "fused_t": [],
+            "diag": [],
+            "map_time": [],
+        }
         self.diagnostics = {"mapping_ms": [], "iterations": [], "records": []}
+        self.trajectory = {"positions": [], "rpys": [], "times": []}
+        self._finalized = False
         self._last_loop_check = -(10 ** 9)
 
     # -- input prep ---------------------------------------------------------
@@ -93,52 +112,43 @@ class LegoLoamPipeline:
 
     def process_scan(self, points: np.ndarray, timestamp: Optional[float] = None):
         cfg = self.cfg
-        t_scan = timestamp if timestamp is not None else self.frame_idx * cfg.laser.scan_period
+        t_scan = (
+            timestamp
+            if timestamp is not None
+            else self.frame_idx * cfg.laser.scan_period
+        )
         self._key, sub = jax.random.split(self._key)
+        self._finalized = False
 
         pts, mask = self._prep(points)
         self.fstate, out = self._frontend(pts, mask, self.fstate, sub)
+        self._dev_log["odom_t"].append(out["t_world"])
 
-        result = {
-            "R_odom": out["R_world"],
-            "t_odom": out["t_world"],
-        }
-        self.odom_trajectory.append(np.asarray(out["t_world"]))
-
-        run_mapping = (self.frame_idx % cfg.mapping.mapping_frequency_divider) == 0
+        run_mapping = (
+            self.frame_idx % cfg.mapping.mapping_frequency_divider
+        ) == 0
         if run_mapping:
-            t0 = _time.perf_counter()
-            seg = out["segmented"]
+            if self.profile:
+                jax.block_until_ready(out["t_world"])
+                t0 = _time.perf_counter()
             self.bstate, (R_map, t_map), diag = self._backend(
                 self.bstate,
                 out["features"],
-                seg.outlier_xyz,
-                seg.outlier_mask,
+                out["segmented"].outlier_xyz,
+                out["segmented"].outlier_mask,
                 out["R_world"],
                 out["t_world"],
                 jnp.float32(t_scan),
             )
-            jax.block_until_ready(t_map)
-            dt_ms = (_time.perf_counter() - t0) * 1e3
-            self.diagnostics["mapping_ms"].append(dt_ms)
-            self.diagnostics["iterations"].append(int(diag.iterations))
-            self.diagnostics["records"].append(
-                {
-                    "iterations": int(diag.iterations),
-                    "min_lambda": float(diag.min_lambda),
-                    "cf_mean": float(diag.cf_mean),
-                    "frame": self.frame_idx,
-                }
-            )
-            result["R_map"] = R_map
-            result["t_map"] = t_map
-
-            tm = np.asarray(t_map)
-            Rm = np.asarray(R_map)
-            rpy = [float(v) for v in se3.matrix_to_euler_zyx(jnp.asarray(Rm))]
-            self.trajectory["positions"].append(tm)
-            self.trajectory["rpys"].append(rpy)
-            self.trajectory["times"].append(t_scan)
+            if self.profile:
+                jax.block_until_ready(t_map)
+                self.diagnostics["mapping_ms"].append(
+                    (_time.perf_counter() - t0) * 1e3
+                )
+            self._dev_log["map_R"].append(R_map)
+            self._dev_log["map_t"].append(t_map)
+            self._dev_log["diag"].append(diag)
+            self._dev_log["map_time"].append(t_scan)
 
             if (
                 cfg.mapping.enable_loop_closure
@@ -148,7 +158,6 @@ class LegoLoamPipeline:
                 self._last_loop_check = self.frame_idx
                 self._try_loop_closure()
 
-        # Fused (odometry-rate) pose
         Rf, tf = fuse_pose(
             self.bstate.R_map,
             self.bstate.t_map,
@@ -157,12 +166,59 @@ class LegoLoamPipeline:
             out["R_world"],
             out["t_world"],
         )
-        result["R_fused"] = Rf
-        result["t_fused"] = tf
-        self.fused_trajectory.append(np.asarray(tf))
+        self._dev_log["fused_t"].append(tf)
 
         self.frame_idx += 1
-        return result
+        return {
+            "R_odom": out["R_world"],
+            "t_odom": out["t_world"],
+            "R_map": self.bstate.R_map,
+            "t_map": self.bstate.t_map,
+            "R_fused": Rf,
+            "t_fused": tf,
+        }
+
+    # -- materialization ----------------------------------------------------
+
+    def finalize(self):
+        """Pull all per-frame device logs to host in one bulk device_get."""
+        if self._finalized:
+            return
+        log = self._dev_log
+        n_map = len(log["map_t"])
+        stacked = {
+            "odom_t": jnp.stack(log["odom_t"]) if log["odom_t"] else jnp.zeros((0, 3)),
+            "fused_t": jnp.stack(log["fused_t"]) if log["fused_t"] else jnp.zeros((0, 3)),
+        }
+        if n_map:
+            stacked["map_t"] = jnp.stack(log["map_t"])
+            mR = jnp.stack(log["map_R"])
+            rpys = se3.matrix_to_euler_zyx(mR)
+            stacked["map_rpy"] = jnp.stack(rpys, axis=-1)
+            stacked["iters"] = jnp.stack([d.iterations for d in log["diag"]])
+            stacked["min_lambda"] = jnp.stack([d.min_lambda for d in log["diag"]])
+            stacked["cf_mean"] = jnp.stack([d.cf_mean for d in log["diag"]])
+        host = jax.device_get(stacked)
+
+        self.odom_positions = host["odom_t"]
+        self.fused_positions = host["fused_t"]
+        if n_map:
+            self.trajectory = {
+                "positions": list(host["map_t"]),
+                "rpys": list(host["map_rpy"]),
+                "times": list(log["map_time"]),
+            }
+            self.diagnostics["iterations"] = [int(v) for v in host["iters"]]
+            self.diagnostics["records"] = [
+                {
+                    "iterations": int(host["iters"][k]),
+                    "min_lambda": float(host["min_lambda"][k]),
+                    "cf_mean": float(host["cf_mean"][k]),
+                    "frame": k,
+                }
+                for k in range(n_map)
+            ]
+        self._finalized = True
 
     # -- loop closure -------------------------------------------------------
 
@@ -172,14 +228,14 @@ class LegoLoamPipeline:
         n_kf = int(self.bstate.n_kf)
         if n_kf < 3:
             return
-        positions = np.asarray(self.bstate.kf_t[:n_kf])
-        times = np.asarray(self.bstate.kf_time[:n_kf])
+        positions = jax.device_get(self.bstate.kf_t)[:n_kf]
+        times = jax.device_get(self.bstate.kf_time)[:n_kf]
         cur = n_kf - 1
         cand = detect_loop_candidate(positions, times, n_kf, cur, cfg)
         if cand < 0:
             return
 
-        # history submap: ±history_keyframe_search_num keyframes around cand
+        # history submap: ±history_keyframe_search_num/2 keyframes around cand
         h = cfg.mapping.history_keyframe_search_num // 2
         lo = max(0, cand - h)
         hi = min(n_kf, cand + h + 1)
@@ -203,16 +259,16 @@ class LegoLoamPipeline:
             jnp.eye(3),
             jnp.zeros(3),
         )
+        res = jax.device_get(res)
         if float(res.fitness) > cfg.mapping.history_keyframe_fitness_score:
             return
 
-        # Loop factor: corrected cur pose vs cand pose
-        Rc = np.asarray(res.R) @ np.asarray(kf_R[cur])
-        tc = np.asarray(res.R) @ np.asarray(kf_t[cur]) + np.asarray(res.t)
-        R_cand = np.asarray(kf_R[cand])
-        t_cand = np.asarray(kf_t[cand])
-        R_rel = R_cand.T @ Rc
-        t_rel = R_cand.T @ (tc - t_cand)
+        cur_R, cur_t = jax.device_get((kf_R[cur], kf_t[cur]))
+        cand_R, cand_t = jax.device_get((kf_R[cand], kf_t[cand]))
+        Rc = np.asarray(res.R) @ cur_R
+        tc = np.asarray(res.R) @ cur_t + np.asarray(res.t)
+        R_rel = cand_R.T @ Rc
+        t_rel = cand_R.T @ (tc - cand_t)
         self.loop_factors.append(
             LoopFactor(i=cand, j=cur, R=R_rel, t=t_rel, fitness=float(res.fitness))
         )
@@ -220,59 +276,50 @@ class LegoLoamPipeline:
 
     def _optimize_graph(self):
         """Relinearized whole-graph GN (≙ ISAM2 update + correctPoses)."""
-        cfg = self.cfg
         n_kf = int(self.bstate.n_kf)
         K = self.bstate.kf_t.shape[0]
 
-        # chain factors from recorded odometry increments
+        # chain factors from recorded odometry increments (device arrays)
         ci = np.arange(K - 1, dtype=np.int32)
         cj = ci + 1
-        cR = np.asarray(self.bstate.kf_rel_R[1:])
-        ct = np.asarray(self.bstate.kf_rel_t[1:])
         cmask = cj < n_kf
 
         nl = len(self.loop_factors)
         li = np.array([f.i for f in self.loop_factors], np.int32)
         lj = np.array([f.j for f in self.loop_factors], np.int32)
         lR = (
-            np.stack([f.R for f in self.loop_factors])
+            np.stack([f.R for f in self.loop_factors]).astype(np.float32)
             if nl
             else np.zeros((0, 3, 3), np.float32)
         )
         lt = (
-            np.stack([f.t for f in self.loop_factors])
+            np.stack([f.t for f in self.loop_factors]).astype(np.float32)
             if nl
             else np.zeros((0, 3), np.float32)
         )
-
-        i = np.concatenate([ci, li])
-        j = np.concatenate([cj, lj])
-        R = np.concatenate([cR, lR]).astype(np.float32)
-        t = np.concatenate([ct, lt]).astype(np.float32)
-        mask = np.concatenate([cmask, np.ones(nl, bool)])
-        # variances ≙ (1e-6 rot, 1e-8 trans) chain; loop noise scaled by
-        # ICP fitness (mapOptmization.cpp:1040-1047)
-        info = np.concatenate(
-            [
-                np.tile(np.array([[1e6] * 3 + [1e8] * 3], np.float32), (K - 1, 1)),
-                np.stack(
-                    [
-                        np.full((6,), 1.0 / max(f.fitness, 1e-3), np.float32)
-                        for f in self.loop_factors
-                    ]
-                )
-                if nl
-                else np.zeros((0, 6), np.float32),
-            ]
+        chain_info = np.tile(
+            np.array([[1e6] * 3 + [1e8] * 3], np.float32), (K - 1, 1)
+        )
+        loop_info = (
+            np.stack(
+                [
+                    np.full((6,), 1.0 / max(f.fitness, 1e-3), np.float32)
+                    for f in self.loop_factors
+                ]
+            )
+            if nl
+            else np.zeros((0, 6), np.float32)
         )
 
         factors = Factors(
-            i=jnp.asarray(i),
-            j=jnp.asarray(j),
-            R=jnp.asarray(R),
-            t=jnp.asarray(t),
-            info=jnp.asarray(info),
-            mask=jnp.asarray(mask),
+            i=jnp.concatenate([jnp.asarray(ci), jnp.asarray(li)]),
+            j=jnp.concatenate([jnp.asarray(cj), jnp.asarray(lj)]),
+            R=jnp.concatenate([self.bstate.kf_rel_R[1:], jnp.asarray(lR)]),
+            t=jnp.concatenate([self.bstate.kf_rel_t[1:], jnp.asarray(lt)]),
+            info=jnp.asarray(np.concatenate([chain_info, loop_info])),
+            mask=jnp.concatenate(
+                [jnp.asarray(cmask), jnp.ones((nl,), bool)]
+            ),
         )
         active = jnp.arange(K) < n_kf
         newR, newt = self._solve_graph(
@@ -283,6 +330,9 @@ class LegoLoamPipeline:
             kf_t=newt,
             R_map=newR[n_kf - 1],
             t_map=newt[n_kf - 1],
+            # corrected keyframe poses invalidate the cached submap
+            submap_center=jnp.full((3,), 1e9),
+            submap_n_kf=jnp.int32(-1),
         )
 
     # -- batch driver -------------------------------------------------------
@@ -292,15 +342,17 @@ class LegoLoamPipeline:
         for k in range(len(scans)):
             ts = None if timestamps is None else timestamps[k]
             self.process_scan(scans[k], ts)
+        self.finalize()
         return {
             "map_positions": np.asarray(self.trajectory["positions"]),
-            "odom_positions": np.asarray(self.odom_trajectory),
-            "fused_positions": np.asarray(self.fused_trajectory),
+            "odom_positions": self.odom_positions,
+            "fused_positions": self.fused_positions,
         }
 
     # -- persistence --------------------------------------------------------
 
     def save_artifacts(self, out_dir: str):
+        self.finalize()
         from .utils.metrics import save_run_artifacts
 
         save_run_artifacts(out_dir, self.trajectory, self.diagnostics)

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from .config import LegoLoamConfig
+from . import mapping as mapping_mod
 from .mapping import MapDiag, assemble_submap, map_prior, scan_to_map
 from .math import se3
 from .ops.voxel import voxel_downsample_masked
@@ -59,30 +60,48 @@ KF_SURF_CAP = 4096
 
 
 def init_backend_state(cfg: LegoLoamConfig) -> BackendState:
+    import numpy as np
+
     K = cfg.mapping.max_keyframes
+
+    # Distinct device buffers per field: jnp constant folding can alias equal
+    # small constants (two jnp.eye(3) fields -> one buffer), which breaks
+    # buffer donation of the state pytree.
+    def eye3():
+        return jnp.asarray(np.eye(3, dtype=np.float32))
+
+    def zeros(shape):
+        return jnp.asarray(np.zeros(shape, np.float32))
+
     return BackendState(
-        kf_R=jnp.tile(jnp.eye(3)[None], (K, 1, 1)),
-        kf_t=jnp.zeros((K, 3)),
-        kf_time=jnp.zeros((K,)),
-        kf_corner=jnp.zeros((K, KF_CORNER_CAP, 3)),
-        kf_corner_mask=jnp.zeros((K, KF_CORNER_CAP), bool),
-        kf_surf=jnp.zeros((K, KF_SURF_CAP, 3)),
-        kf_surf_mask=jnp.zeros((K, KF_SURF_CAP), bool),
-        kf_rel_R=jnp.tile(jnp.eye(3)[None], (K, 1, 1)),
-        kf_rel_t=jnp.zeros((K, 3)),
-        n_kf=jnp.int32(0),
-        R_map=jnp.eye(3),
-        t_map=jnp.zeros(3),
-        R_odom=jnp.eye(3),
-        t_odom=jnp.zeros(3),
+        kf_R=jnp.tile(eye3()[None], (K, 1, 1)),
+        kf_t=zeros((K, 3)),
+        kf_time=zeros((K,)),
+        kf_corner=zeros((K, KF_CORNER_CAP, 3)),
+        kf_corner_mask=jnp.asarray(np.zeros((K, KF_CORNER_CAP), bool)),
+        kf_surf=zeros((K, KF_SURF_CAP, 3)),
+        kf_surf_mask=jnp.asarray(np.zeros((K, KF_SURF_CAP), bool)),
+        kf_rel_R=jnp.tile(eye3()[None], (K, 1, 1)),
+        kf_rel_t=zeros((K, 3)),
+        n_kf=jnp.asarray(np.int32(0)),
+        R_map=eye3(),
+        t_map=zeros((3,)),
+        R_odom=eye3(),
+        t_odom=zeros((3,)),
         submap=MapState(
-            corner_xyz=jnp.zeros((cfg.mapping.max_submap_corner, 3)),
-            corner_mask=jnp.zeros((cfg.mapping.max_submap_corner,), bool),
-            surf_xyz=jnp.zeros((cfg.mapping.max_submap_surf, 3)),
-            surf_mask=jnp.zeros((cfg.mapping.max_submap_surf,), bool),
+            corner_xyz=zeros((cfg.mapping.max_submap_corner, 3)),
+            corner_mask=jnp.asarray(np.zeros((cfg.mapping.max_submap_corner,), bool)),
+            surf_xyz=zeros((cfg.mapping.max_submap_surf, 3)),
+            surf_mask=jnp.asarray(np.zeros((cfg.mapping.max_submap_surf,), bool)),
+            corner_table=jnp.asarray(
+                np.full((mapping_mod.GRID_BUCKETS, mapping_mod.GRID_SLOTS), -1, np.int32)
+            ),
+            surf_table=jnp.asarray(
+                np.full((mapping_mod.GRID_BUCKETS, mapping_mod.GRID_SLOTS), -1, np.int32)
+            ),
         ),
-        submap_center=jnp.full((3,), 1e9),
-        submap_n_kf=jnp.int32(-1),
+        submap_center=jnp.asarray(np.full((3,), 1e9, np.float32)),
+        submap_n_kf=jnp.asarray(np.int32(-1)),
     )
 
 

@@ -121,9 +121,10 @@ class FeatureConfig:
     use_shadow_points: bool = True
     shadow_rows: int = 16
     shadow_cols: int = 10
-    # Fixed capacities (pad-and-mask)
+    # Fixed capacities (pad-and-mask). less_sharp bounds the O(N^2) DBSCAN
+    # matrix — real VLP-16 scans produce a few hundred edge picks.
     max_corner_sharp: int = 512
-    max_corner_less_sharp: int = 2048
+    max_corner_less_sharp: int = 1024
     max_surf_flat: int = 4096
     max_surf_less_flat: int = 8192
 

@@ -202,12 +202,9 @@ def sharded_map_gn_step(mesh: Mesh, cfg: LegoLoamConfig):
         ok = q_mask & (d5[:, 4] < cfg.mapping.nn_valid_dist)
 
         # plane fit residuals (same math as mapping._surf_residuals)
-        from .mapping import plane_fit_lsq
+        from .mapping import plane_fit_pca
 
-        x = plane_fit_lsq(nbr)
-        norm = jnp.linalg.norm(x, axis=-1)
-        n = x / jnp.maximum(norm, 1e-12)[:, None]
-        d_off = 1.0 / jnp.maximum(norm, 1e-12)
+        n, d_off = plane_fit_pca(nbr)
         fitd = jnp.abs(jnp.einsum("qki,qi->qk", nbr, n) + d_off[:, None])
         plane_ok = jnp.all(fitd < cfg.mapping.plane_valid_dist, axis=1)
         pd = jnp.sum(n * q, axis=-1) + d_off

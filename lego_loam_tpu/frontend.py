@@ -152,3 +152,22 @@ def make_frontend(cfg: LegoLoamConfig):
         return frontend_step(points, mask, state, cfg, key)
 
     return step
+
+
+def frontend_step_fused(
+    points, mask, state: OdometryState, frame_idx, R_map, t_map,
+    R_odom_at_map, t_odom_at_map, cfg: LegoLoamConfig,
+):
+    """frontend_step + per-frame RNG derivation + TransformFusion output in
+    one program (zero eager host-side device ops per frame)."""
+    key = jax.random.fold_in(jax.random.PRNGKey(0), frame_idx)
+    new_state, out = frontend_step(points, mask, state, cfg, key)
+    from .fusion import fuse_pose
+
+    Rf, tf = fuse_pose(
+        R_map, t_map, R_odom_at_map, t_odom_at_map,
+        out["R_world"], out["t_world"],
+    )
+    out["R_fused"] = Rf
+    out["t_fused"] = tf
+    return new_state, out

@@ -29,8 +29,16 @@ import jax.numpy as jnp
 
 from .config import LegoLoamConfig
 from .math import se3
+from .math.linalg3 import eigh3x3
+from .ops.hashgrid import HashGrid, build_grid, query_knn
 from .ops.knn import chunked_top_k
 from .types import MapState
+
+# Grid geometry: cell must cover the nn_valid_dist gate (1.0 m) from the
+# 27-neighborhood; bucket count sized for ~64k submap points at low load.
+GRID_CELL = 1.0
+GRID_BUCKETS = 1 << 16
+GRID_SLOTS = 16
 
 
 class MapDiag(NamedTuple):
@@ -73,11 +81,19 @@ def assemble_submap(
         sw.reshape(-1, 3), smask.reshape(-1), m.submap_surf_leaf,
         cfg.pipeline.local_voxel_radius, origin,
     )
+    c_xyz = c_xyz[: m.max_submap_corner]
+    c_m = c_m[: m.max_submap_corner]
+    s_xyz = s_xyz[: m.max_submap_surf]
+    s_m = s_m[: m.max_submap_surf]
+    cg = build_grid(c_xyz, c_m, GRID_CELL, GRID_BUCKETS, GRID_SLOTS)
+    sg = build_grid(s_xyz, s_m, GRID_CELL, GRID_BUCKETS, GRID_SLOTS)
     return MapState(
-        corner_xyz=c_xyz[: m.max_submap_corner],
-        corner_mask=c_m[: m.max_submap_corner],
-        surf_xyz=s_xyz[: m.max_submap_surf],
-        surf_mask=s_m[: m.max_submap_surf],
+        corner_xyz=c_xyz,
+        corner_mask=c_m,
+        surf_xyz=s_xyz,
+        surf_mask=s_m,
+        corner_table=cg.table,
+        surf_table=sg.table,
     )
 
 
@@ -90,7 +106,7 @@ def _corner_residuals(q, q_mask, idx, submap: MapState, cfg: LegoLoamConfig):
     c = jnp.mean(nbr, axis=1)
     dcen = nbr - c[:, None, :]
     cov = jnp.einsum("qki,qkj->qij", dcen, dcen) / 5.0
-    evals, evecs = jnp.linalg.eigh(cov)  # ascending
+    evals, evecs = eigh3x3(cov)  # ascending, closed form
     line_ok = evals[:, 2] > mcfg.line_ratio * evals[:, 1]
     v = evecs[:, :, 2]
 
@@ -110,17 +126,21 @@ def _corner_residuals(q, q_mask, idx, submap: MapState, cfg: LegoLoamConfig):
     return n, dist, w
 
 
-def plane_fit_lsq(nbr):
-    """Least-squares plane nbr @ x = -1 via eigh pseudo-inverse — finite even
-    for degenerate neighbor sets (masked queries gather repeated points; a
-    plain LU solve returns NaN there and 0-weights cannot scrub NaNs)."""
-    AtA = jnp.einsum("qki,qkj->qij", nbr, nbr)
-    Atb = -jnp.sum(nbr, axis=1)
-    evals, evecs = jnp.linalg.eigh(AtA)
-    inv = jnp.where(evals > 1e-6, 1.0 / jnp.maximum(evals, 1e-6), 0.0)
-    return jnp.einsum(
-        "qab,qb->qa", evecs, jnp.einsum("qba,qb->qa", evecs, Atb) * inv
-    )
+def plane_fit_pca(nbr):
+    """Total-least-squares plane through (..., K, 3) neighbors: unit normal n
+    and offset d with n·p + d = 0, via covariance eigendecomposition.
+
+    The reference fits `A x = -1` (mapOptmization.cpp:1390-1402), which is
+    ill-posed for planes passing near the coordinate origin (the d=1
+    normalization cannot represent d=0); the PCA fit has no such pathology
+    and is finite even for degenerate neighbor sets."""
+    c = jnp.mean(nbr, axis=-2)
+    d = nbr - c[..., None, :]
+    cov = jnp.einsum("...ki,...kj->...ij", d, d)
+    evals, evecs = eigh3x3(cov)
+    n = evecs[..., :, 0]  # smallest-eigenvalue direction
+    off = -jnp.sum(n * c, axis=-1)
+    return n, off
 
 
 def _surf_residuals(q, q_mask, idx, submap: MapState, cfg: LegoLoamConfig):
@@ -129,10 +149,7 @@ def _surf_residuals(q, q_mask, idx, submap: MapState, cfg: LegoLoamConfig):
     nbr = submap.surf_xyz[idx]  # (Q, 5, 3)
     d2_now = jnp.sum((nbr - q[:, None, :]) ** 2, axis=-1)
     ok = q_mask & (jnp.max(d2_now, axis=1) < mcfg.nn_valid_dist)
-    x = plane_fit_lsq(nbr)
-    norm = jnp.linalg.norm(x, axis=-1)
-    n = x / jnp.maximum(norm, 1e-12)[:, None]
-    d_off = 1.0 / jnp.maximum(norm, 1e-12)
+    n, d_off = plane_fit_pca(nbr)
 
     plane_fit = jnp.abs(jnp.einsum("qki,qi->qk", nbr, n) + d_off[:, None])
     plane_ok = jnp.all(plane_fit < mcfg.plane_valid_dist, axis=1)
@@ -169,9 +186,11 @@ def scan_to_map(
         qs = surf_xyz @ R.T + t
 
         def refresh(_):
-            ic, _d = chunked_top_k(qc, corner_mask, submap.corner_xyz, submap.corner_mask, 5)
-            isf, _d2 = chunked_top_k(qs, surf_mask, submap.surf_xyz, submap.surf_mask, 5)
-            return ic, isf
+            cg = HashGrid(table=submap.corner_table, cell=GRID_CELL)
+            sg = HashGrid(table=submap.surf_table, cell=GRID_CELL)
+            ic, _d = query_knn(cg, submap.corner_xyz, submap.corner_mask, qc, corner_mask, 5)
+            isf, _d2 = query_knn(sg, submap.surf_xyz, submap.surf_mask, qs, surf_mask, 5)
+            return jnp.maximum(ic, 0), jnp.maximum(isf, 0)
 
         idx_c, idx_s = jax.lax.cond(
             (it % m.search_every) == 0, refresh, lambda x: x, (idx_c, idx_s)

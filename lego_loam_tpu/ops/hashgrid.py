@@ -1,0 +1,106 @@
+"""Voxel-hash grid nearest neighbors — the kd-tree replacement.
+
+The BASELINE north star calls for "device-side voxel-hash NN" in place of
+the reference's nanoflann kd-trees (`nanoflann_pcl.h`). Design:
+
+- build: points are binned into 1 m voxels; a power-of-two hash table maps
+  each voxel to up to SLOTS point indices (sort by bucket + rank-within-
+  bucket + scatter — all fixed-shape vector ops).
+- query: each query gathers the 27-neighborhood buckets' candidates
+  (27*SLOTS ≈ a few hundred) and top-k's their true distances — a few
+  hundred FLOPs per query instead of a dense sweep over the whole submap
+  (~100x less work than the tiled brute force it replaces, and no
+  data-dependent tree walks anywhere).
+
+Hash collisions only add far-away candidates (they lose the top-k) or, very
+rarely, evict true neighbors; with load factor << 1 the 5-NN recall is
+effectively 1 at the 1 m validity gate used by scan-to-map association.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_BIG = jnp.float32(1e30)
+_P1, _P2, _P3 = 73856093, 19349669, 83492791  # classic spatial-hash primes
+
+
+class HashGrid(NamedTuple):
+    table: jax.Array  # (n_buckets, slots) int32 point indices, -1 empty
+    cell: float
+
+
+def _bucket_of(v, n_buckets):
+    # Prime-multiply combine + 32-bit avalanche mix. (The bare xor-of-prime-
+    # multiples spatial hash collides badly for small voxel coordinates —
+    # whole buckets overflow and points get dropped.)
+    u = v.astype(jnp.uint32)
+    h = u[..., 0] * jnp.uint32(_P1) + u[..., 1] * jnp.uint32(_P2) + u[..., 2] * jnp.uint32(_P3)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x7FEB352D)
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x846CA68B)
+    h = h ^ (h >> 16)
+    return (h & jnp.uint32(n_buckets - 1)).astype(jnp.int32)
+
+
+def build_grid(points, mask, cell: float, n_buckets: int = 1 << 17,
+               slots: int = 16) -> HashGrid:
+    """points: (T, 3); mask: (T,). n_buckets must be a power of two."""
+    T = points.shape[0]
+    v = jnp.floor(points / cell).astype(jnp.int32)
+    b = jnp.where(mask, _bucket_of(v, n_buckets), n_buckets)  # invalid -> end
+
+    order = jnp.argsort(b)
+    b_s = b[order]
+    # rank within equal-bucket runs
+    new_run = jnp.concatenate([jnp.array([True]), b_s[1:] != b_s[:-1]])
+    run_id = jnp.cumsum(new_run) - 1
+    # rank = index - first index of the run
+    first_of_run = jax.ops.segment_min(
+        jnp.arange(T), run_id, num_segments=T
+    )
+    rank = jnp.arange(T) - first_of_run[run_id]
+
+    ok = (b_s < n_buckets) & (rank < slots)
+    flat_slot = jnp.where(ok, b_s * slots + rank, n_buckets * slots)
+    table = jnp.full((n_buckets * slots + 1,), -1, jnp.int32)
+    table = table.at[flat_slot].set(jnp.where(ok, order, -1).astype(jnp.int32))
+    return HashGrid(table=table[:-1].reshape(n_buckets, slots), cell=cell)
+
+
+import numpy as _np
+
+_OFFSETS_NP = _np.stack(
+    _np.meshgrid([-1, 0, 1], [-1, 0, 1], [-1, 0, 1], indexing="ij"), axis=-1
+).reshape(-1, 3).astype(_np.int32)
+
+
+def _neighbor_offsets():
+    return jnp.asarray(_OFFSETS_NP)
+
+
+def query_knn(grid: HashGrid, points, p_mask, q, q_mask, k: int):
+    """k-NN of q (Q,3) among `points` via the grid.
+
+    Returns (idx (Q,k) int32, d2 (Q,k)). Neighbors beyond the 27-cell
+    neighborhood (> grid.cell away) are not found — callers gate at
+    nn_valid_dist <= cell anyway."""
+    n_buckets = grid.table.shape[0]
+    slots = grid.table.shape[1]
+    vq = jnp.floor(q / grid.cell).astype(jnp.int32)  # (Q, 3)
+    nb = vq[:, None, :] + _neighbor_offsets()[None, :, :]  # (Q, 27, 3)
+    buckets = _bucket_of(nb, n_buckets)  # (Q, 27)
+    cand = grid.table[buckets].reshape(q.shape[0], 27 * slots)  # (Q, C)
+
+    valid = (cand >= 0) & p_mask[jnp.clip(cand, 0, points.shape[0] - 1)]
+    cp = points[jnp.clip(cand, 0, points.shape[0] - 1)]  # (Q, C, 3)
+    d2 = jnp.sum((cp - q[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(valid & q_mask[:, None], d2, _BIG)
+
+    neg, col = jax.lax.top_k(-d2, k)
+    idx = jnp.take_along_axis(cand, col, axis=1)
+    return jnp.where(neg > -_BIG, idx, -1), -neg

@@ -59,14 +59,21 @@ class LegoLoamPipeline:
         self.profile = profile
         self._key = jax.random.PRNGKey(seed)
 
+        from .frontend import frontend_step_fused
+
         self._frontend = jax.jit(
-            lambda pts, mask, state, key: frontend_step(pts, mask, state, cfg, key)
+            lambda pts, mask, state, idx, Rm, tm, Ro, to: frontend_step_fused(
+                pts, mask, state, idx, Rm, tm, Ro, to, cfg
+            )
         )
+        # NOTE: donating the state pytree trips an XLA buffer-count mismatch
+        # when a sharded program ran earlier in the process (jax 0.9); the
+        # un-donated copy of the keyframe store costs ~3 ms/frame at full
+        # capacity — revisit when that interaction is fixed.
         self._backend = jax.jit(
             lambda state, feats, oxyz, omask, R, t, tm: backend_step(
                 state, feats, oxyz, omask, R, t, tm, cfg
-            ),
-            donate_argnums=(0,),
+            )
         )
         self._icp = jax.jit(
             lambda src, sm, tgt, tm, R0, t0: icp_point2point(
@@ -117,11 +124,16 @@ class LegoLoamPipeline:
             if timestamp is not None
             else self.frame_idx * cfg.laser.scan_period
         )
-        self._key, sub = jax.random.split(self._key)
         self._finalized = False
 
         pts, mask = self._prep(points)
-        self.fstate, out = self._frontend(pts, mask, self.fstate, sub)
+        # Fusion uses the latest *available* map pose — one frame stale, the
+        # same asynchronous semantics as the reference's TransformFusion node.
+        self.fstate, out = self._frontend(
+            pts, mask, self.fstate, jnp.int32(self.frame_idx),
+            self.bstate.R_map, self.bstate.t_map,
+            self.bstate.R_odom, self.bstate.t_odom,
+        )
         self._dev_log["odom_t"].append(out["t_world"])
 
         run_mapping = (
@@ -158,15 +170,7 @@ class LegoLoamPipeline:
                 self._last_loop_check = self.frame_idx
                 self._try_loop_closure()
 
-        Rf, tf = fuse_pose(
-            self.bstate.R_map,
-            self.bstate.t_map,
-            self.bstate.R_odom,
-            self.bstate.t_odom,
-            out["R_world"],
-            out["t_world"],
-        )
-        self._dev_log["fused_t"].append(tf)
+        self._dev_log["fused_t"].append(out["t_fused"])
 
         self.frame_idx += 1
         return {
@@ -174,8 +178,8 @@ class LegoLoamPipeline:
             "t_odom": out["t_world"],
             "R_map": self.bstate.R_map,
             "t_map": self.bstate.t_map,
-            "R_fused": Rf,
-            "t_fused": tf,
+            "R_fused": out["R_fused"],
+            "t_fused": out["t_fused"],
         }
 
     # -- materialization ----------------------------------------------------

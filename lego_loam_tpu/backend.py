@@ -23,7 +23,6 @@ import jax.numpy as jnp
 from flax import struct
 
 from .config import LegoLoamConfig
-from . import mapping as mapping_mod
 from .mapping import MapDiag, assemble_submap, map_prior, scan_to_map
 from .math import se3
 from .ops.voxel import voxel_downsample_masked
@@ -93,12 +92,6 @@ def init_backend_state(cfg: LegoLoamConfig) -> BackendState:
             corner_mask=jnp.asarray(np.zeros((cfg.mapping.max_submap_corner,), bool)),
             surf_xyz=zeros((cfg.mapping.max_submap_surf, 3)),
             surf_mask=jnp.asarray(np.zeros((cfg.mapping.max_submap_surf,), bool)),
-            corner_table=jnp.asarray(
-                np.full((mapping_mod.GRID_BUCKETS, mapping_mod.GRID_SLOTS), -1, np.int32)
-            ),
-            surf_table=jnp.asarray(
-                np.full((mapping_mod.GRID_BUCKETS, mapping_mod.GRID_SLOTS), -1, np.int32)
-            ),
         ),
         submap_center=jnp.asarray(np.full((3,), 1e9, np.float32)),
         submap_n_kf=jnp.asarray(np.int32(-1)),

@@ -191,6 +191,9 @@ class MappingConfig:
     # refresh trades negligible accuracy for most of the NN cost.)
     search_every: int = 3
     max_gn_iterations: int = 12
+    # 5-NN implementation: 'auto' = Pallas streaming kernel on TPU, XLA
+    # chunked approx_min_k elsewhere; 'pallas' / 'xla' force one.
+    nn_backend: str = "auto"
     # Submap rebuild policy: the reference re-assembles the submap every frame
     # (extractSurroundingKeyFrames); with a 50 m search radius the selected
     # set barely changes between 10 Hz frames, so the assembled+downsampled

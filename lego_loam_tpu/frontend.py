@@ -74,10 +74,32 @@ def stage1(points, mask, cfg: LegoLoamConfig, key=None):
     return segment_cloud(grid, cfg)
 
 
-def frontend_step(points, mask, state: OdometryState, cfg: LegoLoamConfig, key=None):
+def frontend_step(
+    points, mask, state: OdometryState, cfg: LegoLoamConfig, key=None,
+    odom_prior=None, imu_track=None,
+):
     """Full per-scan front end (≙ runFeatureAssociation,
-    featureAssociation.cpp:2742-2853). Returns (new_state, outputs)."""
+    featureAssociation.cpp:2742-2853). Returns (new_state, outputs).
+
+    odom_prior: optional (R, t) inter-frame motion from wheel odometry
+    (imu.odom_prior_motion). Its use follows cfg.odometry.odom_prior_mode:
+    'init' seeds the solver (upstream-intended behaviour), 'override'
+    replaces the solved motion (the reference's as-committed ablation,
+    featureAssociation.cpp:2789-2790), 'off' ignores it.
+    imu_track: optional imu.ImuTrack for scan undistortion
+    (cfg.pipeline.use_imu_undistortion)."""
     grid, seg = stage1(points, mask, cfg, key)
+    if imu_track is not None and cfg.pipeline.use_imu_undistortion:
+        # Undistort after projection (the reference also projects the raw
+        # cloud first and warps inside FeatureAssociation, adjustDistortion).
+        from .imu import undistort_to_start
+
+        seg_xyz = undistort_to_start(
+            seg.xyz, seg.rel_time, imu_track, cfg.laser.scan_period
+        )
+        seg = seg.replace(
+            xyz=jnp.where(seg.valid[..., None], seg_xyz, seg.xyz)
+        )
     feats = extract_features(seg, cfg)
 
     if not cfg.pipeline.use_imu_undistortion:
@@ -101,8 +123,13 @@ def frontend_step(points, mask, state: OdometryState, cfg: LegoLoamConfig, key=N
             ),
         )
 
-    # Seed with constant velocity (last inter-frame motion).
-    M_R0, M_t0 = state.R_prev_cur, state.t_prev_cur
+    # Seed with constant velocity (last inter-frame motion), or the wheel
+    # odometry prior in 'init' mode.
+    mode = cfg.odometry.odom_prior_mode
+    if odom_prior is not None and mode == "init":
+        M_R0, M_t0 = odom_prior
+    else:
+        M_R0, M_t0 = state.R_prev_cur, state.t_prev_cur
 
     def solve(_):
         return two_step_odometry(
@@ -113,6 +140,11 @@ def frontend_step(points, mask, state: OdometryState, cfg: LegoLoamConfig, key=N
         return jnp.eye(3), jnp.zeros(3)
 
     M_R, M_t = jax.lax.cond(state.initialized, solve, first, None)
+    if odom_prior is not None and mode == "override":
+        # Reference as-committed: updateInitialGuess() runs AFTER
+        # updateTransformation() and overwrites the LM result
+        # (featureAssociation.cpp:2789-2790).
+        M_R, M_t = odom_prior
 
     # World pose integration: T_w_cur = T_w_prev ∘ M
     R_world, t_world = se3.compose(state.R_world, state.t_world, M_R, M_t)

@@ -30,15 +30,26 @@ import jax.numpy as jnp
 from .config import LegoLoamConfig
 from .math import se3
 from .math.linalg3 import eigh3x3
-from .ops.hashgrid import HashGrid, build_grid, query_knn
 from .ops.knn import chunked_top_k
 from .types import MapState
 
-# Grid geometry: cell must cover the nn_valid_dist gate (1.0 m) from the
-# 27-neighborhood; bucket count sized for ~64k submap points at low load.
-GRID_CELL = 1.0
-GRID_BUCKETS = 1 << 16
-GRID_SLOTS = 16
+
+def _nn5(q, target, t_mask, cfg):
+    """5-NN search, Pallas kernel on TPU, XLA chunked top-k elsewhere.
+
+    The Pallas kernel (`ops/pallas_knn.py`) streams target tiles through
+    VMEM with a running sorted merge — orders of magnitude faster than both
+    the chunked `approx_min_k` sweep and a gather-based voxel-hash grid
+    (TPU random gathers lose to MXU matmul brute force at these sizes)."""
+    use_pallas = (
+        cfg.mapping.nn_backend == "pallas"
+        or (cfg.mapping.nn_backend == "auto" and jax.default_backend() == "tpu")
+    )
+    if use_pallas and q.shape[0] % 512 == 0 and target.shape[0] % 2048 == 0:
+        from .ops.pallas_knn import pallas_topk_l2
+
+        return pallas_topk_l2(q, target, t_mask, k=5)
+    return chunked_top_k(q, jnp.ones(q.shape[0], bool), target, t_mask, 5)
 
 
 class MapDiag(NamedTuple):
@@ -81,19 +92,11 @@ def assemble_submap(
         sw.reshape(-1, 3), smask.reshape(-1), m.submap_surf_leaf,
         cfg.pipeline.local_voxel_radius, origin,
     )
-    c_xyz = c_xyz[: m.max_submap_corner]
-    c_m = c_m[: m.max_submap_corner]
-    s_xyz = s_xyz[: m.max_submap_surf]
-    s_m = s_m[: m.max_submap_surf]
-    cg = build_grid(c_xyz, c_m, GRID_CELL, GRID_BUCKETS, GRID_SLOTS)
-    sg = build_grid(s_xyz, s_m, GRID_CELL, GRID_BUCKETS, GRID_SLOTS)
     return MapState(
-        corner_xyz=c_xyz,
-        corner_mask=c_m,
-        surf_xyz=s_xyz,
-        surf_mask=s_m,
-        corner_table=cg.table,
-        surf_table=sg.table,
+        corner_xyz=c_xyz[: m.max_submap_corner],
+        corner_mask=c_m[: m.max_submap_corner],
+        surf_xyz=s_xyz[: m.max_submap_surf],
+        surf_mask=s_m[: m.max_submap_surf],
     )
 
 
@@ -186,10 +189,8 @@ def scan_to_map(
         qs = surf_xyz @ R.T + t
 
         def refresh(_):
-            cg = HashGrid(table=submap.corner_table, cell=GRID_CELL)
-            sg = HashGrid(table=submap.surf_table, cell=GRID_CELL)
-            ic, _d = query_knn(cg, submap.corner_xyz, submap.corner_mask, qc, corner_mask, 5)
-            isf, _d2 = query_knn(sg, submap.surf_xyz, submap.surf_mask, qs, surf_mask, 5)
+            ic, _d = _nn5(qc, submap.corner_xyz, submap.corner_mask, cfg)
+            isf, _d2 = _nn5(qs, submap.surf_xyz, submap.surf_mask, cfg)
             return jnp.maximum(ic, 0), jnp.maximum(isf, 0)
 
         idx_c, idx_s = jax.lax.cond(

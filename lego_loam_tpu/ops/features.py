@@ -185,11 +185,48 @@ def shadow_points(cfg: LegoLoamConfig) -> jax.Array:
     )
 
 
-def extract_features(seg: SegmentedScan, cfg: LegoLoamConfig) -> ScanFeatures:
-    """Fork's active variant: whole-ring picking, unlimited flats, DBSCAN-
-    refined sharp corners, shadow points appended to flat surfs.
+def _sector_rank(score, pick, count, n_sectors, descending=True):
+    """Rank picked points by score within each (row, sector) segment.
 
-    ≙ `extractFeaturesOurs` featureAssociation.cpp:1159-1316."""
+    ≙ the reference's per-sector sort + capped take
+    (featureAssociation.cpp:910-941). Returns (H, W) int32 rank (0 = best),
+    W for unpicked."""
+    H, W = score.shape
+    pos = jnp.broadcast_to(jnp.arange(W)[None, :], (H, W))
+    sec = jnp.clip(
+        (pos * n_sectors) // jnp.maximum(count[:, None], 1), 0, n_sectors - 1
+    )
+    key_score = jnp.where(pick, score if descending else -score, -_BIG)
+    # curvature order first (stable argsorts compose to lexsort)
+    perm1 = jnp.argsort(-key_score, axis=1)
+    sec_p = jnp.take_along_axis(sec, perm1, axis=1)
+    pick_p = jnp.take_along_axis(pick, perm1, axis=1)
+    # group by sector, keeping curvature order within (argsort is stable)
+    perm2 = jnp.argsort(jnp.where(pick_p, sec_p, n_sectors), axis=1)
+    final = jnp.take_along_axis(perm1, perm2, axis=1)  # original cols ordered
+    sec_f = jnp.take_along_axis(sec, final, axis=1)
+    pick_f = jnp.take_along_axis(pick, final, axis=1)
+    sec_f = jnp.where(pick_f, sec_f, n_sectors)
+    new_seg = jnp.concatenate(
+        [jnp.ones((H, 1), bool), sec_f[:, 1:] != sec_f[:, :-1]], axis=1
+    )
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(new_seg, pos, 0), axis=1
+    )
+    rank_sorted = pos - seg_start
+    # scatter rank back to original columns
+    rank = jnp.zeros((H, W), jnp.int32).at[
+        jnp.broadcast_to(jnp.arange(H)[:, None], (H, W)), final
+    ].set(jnp.where(pick_f, rank_sorted, W))
+    return rank
+
+
+def extract_features(seg: SegmentedScan, cfg: LegoLoamConfig) -> ScanFeatures:
+    """Feature picking. `use_ours` selects the fork's active variant
+    (whole-ring picking, unlimited flats, DBSCAN-refined sharp corners,
+    shadow points — ≙ `extractFeaturesOurs` featureAssociation.cpp:1159-1316);
+    otherwise the upstream per-sector capped picking (2 sharp / 20 less-sharp
+    / 4 flat per ring sector, ≙ `extractFeatures` :901-1022)."""
     f = cfg.features
     if f.use_ours:
         curv, computable = curvature_ours(seg, cfg)
@@ -204,17 +241,28 @@ def extract_features(seg: SegmentedScan, cfg: LegoLoamConfig) -> ScanFeatures:
     edge_pick = _nms_extremum(curv, edge_cand, seg.col, mode="max")
     flat_pick = _nms_extremum(curv, flat_cand, seg.col, mode="min")
 
+    if not f.use_ours:
+        # Upstream caps per ring sector
+        e_rank = _sector_rank(curv, edge_pick, seg.count, f.num_sectors, True)
+        f_rank = _sector_rank(curv, flat_pick, seg.count, f.num_sectors, False)
+        sharp_pick = edge_pick & (e_rank < f.max_sharp_per_sector)
+        edge_pick = edge_pick & (e_rank < f.max_less_sharp_per_sector)
+        flat_pick = flat_pick & (f_rank < f.max_flat_per_sector)
+
     less_sharp = _gather_rows(seg, edge_pick, f.max_corner_less_sharp)
     flat = _gather_rows(seg, flat_pick, f.max_surf_flat)
 
-    # Sharp corners: DBSCAN clusters of less-sharp with >= min_cluster members
-    sharp_keep = dbscan_edge_filter(less_sharp, cfg)
-    sharp = FeatureCloud(
-        xyz=less_sharp.xyz,
-        ring=less_sharp.ring,
-        rel_time=less_sharp.rel_time,
-        mask=less_sharp.mask & sharp_keep,
-    )
+    if f.use_ours:
+        # Sharp corners: DBSCAN clusters of less-sharp with >= min_cluster
+        sharp_keep = dbscan_edge_filter(less_sharp, cfg)
+        sharp = FeatureCloud(
+            xyz=less_sharp.xyz,
+            ring=less_sharp.ring,
+            rel_time=less_sharp.rel_time,
+            mask=less_sharp.mask & sharp_keep,
+        )
+    else:
+        sharp = _gather_rows(seg, sharp_pick, f.max_corner_sharp)
 
     # Less-flat: everything not picked as an edge, voxel-downsampled 0.2 m
     less_flat_src = seg.valid & ~edge_pick

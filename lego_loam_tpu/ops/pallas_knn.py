@@ -1,0 +1,117 @@
+"""Pallas TPU kernel: brute-force k-NN with streaming top-k merge.
+
+The scan-to-map 5-NN search is the pipeline's hottest op. The XLA fallback
+(`ops/knn.py::chunked_top_k`) materializes (Q, chunk) distance blocks through
+HBM and pays `approx_min_k` per chunk; this kernel keeps everything in VMEM:
+each program owns a tile of queries, streams target tiles through the MXU for
+the distance block, and maintains a sorted running top-k per query with a
+branchless insertion merge — k min/argmin sweeps per tile, no sorts, no HBM
+intermediates.
+
+Layout: coordinates travel transposed, (3, N), so the big N dimension is the
+lane dimension (an (N, 3) block would pad 3 lanes to 128 and overflow VMEM).
+Distances are exact squared L2.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 1e30  # python float: jnp scalars would be captured consts in the kernel
+
+
+def _insert_sorted(best_d, best_i, m, a):
+    """Insert (m, a) into the row-sorted (Q, K) best lists. m, a: (Q,)."""
+    Q, K = best_d.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (Q, K), 1)
+    pos = jnp.sum((best_d <= m[:, None]).astype(jnp.int32), axis=1)[:, None]
+    d_shift = jnp.concatenate([m[:, None], best_d[:, :-1]], axis=1)
+    i_shift = jnp.concatenate([a[:, None], best_i[:, :-1]], axis=1)
+    new_d = jnp.where(iota < pos, best_d, jnp.where(iota == pos, m[:, None], d_shift))
+    new_i = jnp.where(iota < pos, best_i, jnp.where(iota == pos, a[:, None], i_shift))
+    return new_d, new_i
+
+
+def _knn_kernel(q_ref, t_ref, mask_ref, idx_ref, d2_ref, best_d, best_i,
+                *, k, t_tile):
+    qT = q_ref[:]  # (3, QT)
+    T = t_ref.shape[1]
+    n_tiles = T // t_tile
+
+    qq = jnp.sum(qT * qT, axis=0)[:, None]  # (QT, 1)
+    best_d[:] = jnp.full(best_d.shape, _BIG)
+    best_i[:] = jnp.full(best_i.shape, -1, jnp.int32)
+
+    def body(c, _):
+        t = t_ref[:, pl.ds(c * t_tile, t_tile)]  # (3, TT)
+        m = mask_ref[:, pl.ds(c * t_tile, t_tile)]  # (1, TT)
+        tt = jnp.sum(t * t, axis=0)  # (TT,)
+        qt = jax.lax.dot_general(
+            qT, t, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (QT, TT)
+        d2 = qq + tt[None, :] - 2.0 * qt
+        d2 = jnp.where(m > 0, jnp.maximum(d2, 0.0), _BIG)
+
+        col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        bd = best_d[:]
+        bi = best_i[:]
+        for _j in range(k):
+            mn = jnp.min(d2, axis=1)
+            am = jnp.argmin(d2, axis=1).astype(jnp.int32)
+            bd, bi = _insert_sorted(bd, bi, mn, am + c * t_tile)
+            d2 = jnp.where(col == am[:, None], _BIG, d2)
+        best_d[:] = bd
+        best_i[:] = bi
+        return ()
+
+    jax.lax.fori_loop(0, n_tiles, body, ())
+
+    idx_ref[:] = best_i[:, :idx_ref.shape[1]]
+    d2_ref[:] = best_d[:, :d2_ref.shape[1]]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "q_tile", "t_tile", "interpret"))
+def pallas_topk_l2(query, target, t_mask, k=5, q_tile=512, t_tile=2048,
+                   interpret=False):
+    """query (Q,3), target (T,3), t_mask (T,) -> (idx (Q,k) int32, d2 (Q,k)).
+
+    Q must divide by q_tile and T by t_tile (pad-and-mask upstream)."""
+    Q = query.shape[0]
+    T = target.shape[0]
+    assert Q % q_tile == 0 and T % t_tile == 0, (Q, T, q_tile, t_tile)
+    kp = 8 if k <= 8 else ((k + 7) // 8) * 8
+
+    qT = query.T  # (3, Q)
+    tT = target.T  # (3, T)
+    mask2d = t_mask.astype(jnp.int32)[None, :]  # (1, T)
+
+    kernel = functools.partial(_knn_kernel, k=k, t_tile=t_tile)
+    idx, d2 = pl.pallas_call(
+        kernel,
+        grid=(Q // q_tile,),
+        in_specs=[
+            pl.BlockSpec((3, q_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, T), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((q_tile, kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_tile, kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Q, kp), jnp.int32),
+            jax.ShapeDtypeStruct((Q, kp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((q_tile, kp), jnp.float32),
+            pltpu.VMEM((q_tile, kp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(qT, tT, mask2d)
+    return idx[:, :k], d2[:, :k]

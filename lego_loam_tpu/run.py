@@ -1,0 +1,124 @@
+"""Command-line runner — the launch-layer equivalent.
+
+≙ `ros2 launch lego_loam_sr run.launch.py lidar_type:=VLP-16`
+(`launch/run.launch.py`) plus the offline KITTI service
+(`imageProjection.cpp:224-299`):
+
+    python -m lego_loam_tpu.run --preset VLP-16 --kitti /path/to/seq --out out/
+    python -m lego_loam_tpu.run --preset VLP-16 --rosbag /path/to/bag --topic /velodyne_points
+    python -m lego_loam_tpu.run --preset VLP-16 --synthetic 100
+
+Writes the reference-parity artifact set (pose.txt, mapt.txt,
+MapIterTimes.txt, LocalInfo.txt) plus the map PCDs to --out.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="VLP-16", choices=["VLP-16", "VLP-32c", "HDL-64E"])
+    p.add_argument("--kitti", help="KITTI sequence dir (velodyne/*.bin)")
+    p.add_argument("--rosbag", help="rosbag2 dir or .db3 file")
+    p.add_argument("--topic", default="/velodyne_points")
+    p.add_argument("--synthetic", type=int, help="run N synthetic frames")
+    p.add_argument("--out", default="out")
+    p.add_argument("--max-frames", type=int, default=0)
+    p.add_argument("--loop-closure", action="store_true")
+    p.add_argument("--no-map-update", action="store_true",
+                   help="reference's as-committed mapping ablation")
+    p.add_argument("--checkpoint", help="save final state to this npz")
+    p.add_argument("--resume", help="resume from a state npz")
+    p.add_argument("--profile", action="store_true")
+    args = p.parse_args(argv)
+
+    import dataclasses
+
+    import numpy as np
+
+    from .config import get_config
+    from .pipeline import LegoLoamPipeline
+
+    cfg = get_config(args.preset)
+    mapping = cfg.mapping
+    if args.loop_closure:
+        mapping = dataclasses.replace(mapping, enable_loop_closure=True)
+    if args.no_map_update:
+        mapping = dataclasses.replace(mapping, enable_map_update=False)
+    cfg = dataclasses.replace(cfg, mapping=mapping)
+
+    pipe = LegoLoamPipeline(cfg, profile=args.profile)
+    if args.resume:
+        from . import checkpoint
+
+        checkpoint.load(pipe, args.resume)
+        print(f"resumed at frame {pipe.frame_idx}")
+
+    def scan_stream():
+        if args.kitti:
+            from .native import ScanFeeder
+            import os
+
+            vel = os.path.join(args.kitti, "velodyne")
+            files = sorted(
+                os.path.join(vel, f) for f in os.listdir(vel) if f.endswith(".bin")
+            )
+            feeder = ScanFeeder(files, cap=cfg.laser.max_points)
+            while True:
+                item = feeder.next()
+                if item is None:
+                    return
+                idx, buf, mask, ts = item
+                pts = np.where(mask[:, None], buf, np.nan)
+                yield pts, ts
+        elif args.rosbag:
+            from .io.rosbag2 import Rosbag2Reader
+
+            rdr = Rosbag2Reader(args.rosbag)
+            for t, xyz in rdr.scan_stream(args.topic):
+                yield xyz, t
+        elif args.synthetic:
+            from .io.synthetic import render_scan, straight_trajectory
+
+            poses = straight_trajectory(args.synthetic, speed=0.15,
+                                        yaw_rate=np.deg2rad(1.0))
+            for i, (R, t) in enumerate(poses):
+                yield render_scan(R, t, cfg, noise=0.01, seed=i), i * 0.1
+        else:
+            p.error("one of --kitti/--rosbag/--synthetic required")
+
+    t0 = time.perf_counter()
+    n = 0
+    for pts, ts in scan_stream():
+        pipe.process_scan(pts, ts)
+        n += 1
+        if args.max_frames and n >= args.max_frames:
+            break
+        if n % 100 == 0:
+            print(f"frame {n} ({n / (time.perf_counter() - t0):.1f} scans/s)")
+
+    import jax
+
+    jax.block_until_ready(pipe.bstate.t_map)
+    dt = time.perf_counter() - t0
+    print(f"processed {n} scans in {dt:.1f} s ({n / max(dt, 1e-9):.1f} scans/s)")
+
+    pipe.save_artifacts(args.out)
+    from .mapproducts import save_map
+
+    save_map(pipe.bstate, args.out, cfg)
+    print(f"artifacts written to {args.out}")
+
+    if args.checkpoint:
+        from . import checkpoint
+
+        checkpoint.save(pipe, args.checkpoint)
+        print(f"state saved to {args.checkpoint}")
+
+
+if __name__ == "__main__":
+    main()

@@ -87,15 +87,12 @@ class OdometryState(_Base):
 
 
 class MapState(_Base):
-    """Device-side submap buffers + voxel-hash NN tables."""
+    """Device-side submap buffers for scan-to-map refinement."""
 
     corner_xyz: jax.Array  # (Nc, 3)
     corner_mask: jax.Array  # (Nc,)
     surf_xyz: jax.Array  # (Ns, 3)
     surf_mask: jax.Array  # (Ns,)
-    # Hash-grid tables built at submap assembly (ops/hashgrid.py)
-    corner_table: jax.Array  # (n_buckets, slots) int32
-    surf_table: jax.Array  # (n_buckets, slots) int32
 
 
 def pad_cloud(xyz, n, ring=None, rel_time=None, dtype=jnp.float32) -> FeatureCloud:

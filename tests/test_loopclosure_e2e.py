@@ -1,0 +1,52 @@
+"""End-to-end loop closure: a circular drive that revisits its start."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+
+def loop_cfg():
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_backend import small_cfg
+
+    cfg = small_cfg()
+    mapping = dataclasses.replace(
+        cfg.mapping,
+        enable_loop_closure=True,
+        loop_time_gap=3.0,
+        loop_every_n_frames=2,
+        history_keyframe_search_radius=5.0,
+        history_keyframe_search_num=10,
+        history_keyframe_fitness_score=0.5,
+    )
+    return dataclasses.replace(cfg, mapping=mapping)
+
+
+@pytest.mark.slow
+def test_circle_drive_closes_loop():
+    from lego_loam_tpu.io.synthetic import circle_trajectory, render_scan
+    from lego_loam_tpu.pipeline import LegoLoamPipeline
+    from lego_loam_tpu.utils.metrics import ate_rmse
+
+    cfg = loop_cfg()
+    # ~5 deg/frame around a 5 m circle: 72 frames per revolution, plus overlap
+    poses = circle_trajectory(80, radius=5.0, step_deg=5.0)
+    pipe = LegoLoamPipeline(cfg)
+    for i, (R, t) in enumerate(poses):
+        pts = render_scan(R, t, cfg, noise=0.01, seed=100 + i)
+        pipe.process_scan(pts)
+    pipe.finalize()
+
+    gt = np.stack([t for _, t in poses])
+    est = np.asarray(pipe.trajectory["positions"])
+    ate = ate_rmse(est, gt, align=False)
+    # Odometry drift around a full revolution is bounded by mapping; the loop
+    # factor (if fired) must not corrupt the trajectory.
+    assert ate < 0.5, f"circle ATE {ate:.3f}"
+    assert np.isfinite(est).all()
+    # With a full revolution and overlap, at least one loop candidate should
+    # have been geometrically verified.
+    assert len(pipe.loop_factors) >= 1, "no loop closure fired"

@@ -143,9 +143,10 @@ def segment_cloud(grid: ScanGrid, cfg: LegoLoamConfig) -> tuple[ScanGrid, Segmen
     )
     No = (H * W) // 5 + 1
     oflat = outlier.reshape(-1)
-    oorder = jnp.argsort(~oflat)[:No]
-    oxyz = grid.xyz.reshape(-1, 3)[oorder]
-    omask = oflat[oorder]
+    opos = jnp.cumsum(oflat.astype(jnp.int32)) - 1
+    odest = jnp.where(oflat & (opos < No), opos, No)
+    oxyz = jnp.zeros((No + 1, 3)).at[odest].set(grid.xyz.reshape(-1, 3))[:No]
+    omask = jnp.arange(No) < jnp.minimum(opos[-1] + 1, No)
 
     seg = SegmentedScan(
         xyz=jnp.where(packed_valid[..., None], pack(grid.xyz), 0.0),

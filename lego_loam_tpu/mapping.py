@@ -29,7 +29,11 @@ import jax.numpy as jnp
 
 from .config import LegoLoamConfig
 from .math import se3
-from .math.linalg3 import eigh3x3
+from .math.linalg3 import (
+    eigh3x3,
+    eigvals3x3_components,
+    eigvec_extreme_components,
+)
 from .ops.knn import chunked_top_k
 from .types import MapState
 
@@ -100,33 +104,61 @@ def assemble_submap(
     )
 
 
-def _corner_residuals(q, q_mask, idx, submap: MapState, cfg: LegoLoamConfig):
-    """5-NN line-fit point-to-line residuals (mapOptmization.cpp:1269-1377)."""
-    mcfg = cfg.mapping
-    nbr = submap.corner_xyz[idx]  # (Q, 5, 3)
-    d2_now = jnp.sum((nbr - q[:, None, :]) ** 2, axis=-1)
-    ok = q_mask & (jnp.max(d2_now, axis=1) < mcfg.nn_valid_dist)
-    c = jnp.mean(nbr, axis=1)
-    dcen = nbr - c[:, None, :]
-    cov = jnp.einsum("qki,qkj->qij", dcen, dcen) / 5.0
-    evals, evecs = eigh3x3(cov)  # ascending, closed form
-    line_ok = evals[:, 2] > mcfg.line_ratio * evals[:, 1]
-    v = evecs[:, :, 2]
+def _nbr_components(points, idx):
+    """Gather 5-NN coordinates as (Q, 5) component planes (a (Q, 5, 3)
+    gather would pad the trailing 3 to a full 128-lane tile on TPU)."""
+    return points[:, 0][idx], points[:, 1][idx], points[:, 2][idx]
 
-    t1 = c + 0.1 * v
-    t2 = c - 0.1 * v
-    u = t1 - t2
-    cr = jnp.cross(q - t1, q - t2)
-    cn = jnp.linalg.norm(cr, axis=-1)
-    un = jnp.linalg.norm(u, axis=-1)
-    dist = cn / jnp.maximum(un, 1e-9)
-    n = jnp.cross(u, cr / jnp.maximum(cn, 1e-12)[:, None]) / jnp.maximum(
-        un, 1e-9
-    )[:, None]
+
+def _corner_residuals(q, q_mask, idx, submap: MapState, cfg: LegoLoamConfig):
+    """5-NN line-fit point-to-line residuals (mapOptmization.cpp:1269-1377).
+
+    Fully component-wise: covariance entries, closed-form eigenvectors, and
+    the point-to-line geometry all stay in (Q,) planes."""
+    mcfg = cfg.mapping
+    qx, qy, qz = q[:, 0], q[:, 1], q[:, 2]
+    nx, ny, nz = _nbr_components(submap.corner_xyz, idx)  # (Q, 5)
+
+    d2_now = (nx - qx[:, None]) ** 2 + (ny - qy[:, None]) ** 2 + (nz - qz[:, None]) ** 2
+    ok = q_mask & (jnp.max(d2_now, axis=1) < mcfg.nn_valid_dist)
+
+    cx = jnp.mean(nx, axis=1)
+    cy = jnp.mean(ny, axis=1)
+    cz = jnp.mean(nz, axis=1)
+    dx = nx - cx[:, None]
+    dy = ny - cy[:, None]
+    dz = nz - cz[:, None]
+    a00 = jnp.mean(dx * dx, axis=1)
+    a01 = jnp.mean(dx * dy, axis=1)
+    a02 = jnp.mean(dx * dz, axis=1)
+    a11 = jnp.mean(dy * dy, axis=1)
+    a12 = jnp.mean(dy * dz, axis=1)
+    a22 = jnp.mean(dz * dz, axis=1)
+    comps = (a00, a01, a02, a11, a12, a22)
+    lo, mid, hi = eigvals3x3_components(*comps)
+    line_ok = hi > mcfg.line_ratio * mid
+    vx, vy, vz = eigvec_extreme_components(comps, lo, mid)  # largest eigvec
+
+    # point-to-line for the segment c ± 0.1 v: with p = q - c,
+    # cr = (p - 0.1v) x (p + 0.1v) = 0.2 (p x v); dist = |p x v|;
+    # gradient n = v x (p x v)/|p x v| (unit, as in the reference algebra).
+    px = qx - cx
+    py = qy - cy
+    pz = qz - cz
+    crx = py * vz - pz * vy
+    cry = pz * vx - px * vz
+    crz = px * vy - py * vx
+    cn = jnp.sqrt(crx * crx + cry * cry + crz * crz)
+    dist = cn
+    inv = 1.0 / jnp.maximum(cn, 1e-12)
+    ux, uy, uz = crx * inv, cry * inv, crz * inv  # unit p x v
+    gx = vy * uz - vz * uy
+    gy = vz * ux - vx * uz
+    gz = vx * uy - vy * ux
 
     s = 1.0 - 0.9 * jnp.abs(dist)
     w = jnp.where(ok & line_ok & (s > 0.1), s, 0.0)
-    return n, dist, w
+    return (gx, gy, gz), dist, w
 
 
 def plane_fit_pca(nbr):
@@ -147,21 +179,58 @@ def plane_fit_pca(nbr):
 
 
 def _surf_residuals(q, q_mask, idx, submap: MapState, cfg: LegoLoamConfig):
-    """5-NN plane-fit point-to-plane residuals (mapOptmization.cpp:1379-1442)."""
+    """5-NN PCA-plane point-to-plane residuals (mapOptmization.cpp:1379-1442),
+    fully component-wise (see _corner_residuals)."""
     mcfg = cfg.mapping
-    nbr = submap.surf_xyz[idx]  # (Q, 5, 3)
-    d2_now = jnp.sum((nbr - q[:, None, :]) ** 2, axis=-1)
-    ok = q_mask & (jnp.max(d2_now, axis=1) < mcfg.nn_valid_dist)
-    n, d_off = plane_fit_pca(nbr)
+    qx, qy, qz = q[:, 0], q[:, 1], q[:, 2]
+    nx, ny, nz = _nbr_components(submap.surf_xyz, idx)  # (Q, 5)
 
-    plane_fit = jnp.abs(jnp.einsum("qki,qi->qk", nbr, n) + d_off[:, None])
+    d2_now = (nx - qx[:, None]) ** 2 + (ny - qy[:, None]) ** 2 + (nz - qz[:, None]) ** 2
+    ok = q_mask & (jnp.max(d2_now, axis=1) < mcfg.nn_valid_dist)
+
+    cx = jnp.mean(nx, axis=1)
+    cy = jnp.mean(ny, axis=1)
+    cz = jnp.mean(nz, axis=1)
+    dx = nx - cx[:, None]
+    dy = ny - cy[:, None]
+    dz = nz - cz[:, None]
+    comps = (
+        jnp.sum(dx * dx, axis=1), jnp.sum(dx * dy, axis=1),
+        jnp.sum(dx * dz, axis=1), jnp.sum(dy * dy, axis=1),
+        jnp.sum(dy * dz, axis=1), jnp.sum(dz * dz, axis=1),
+    )
+    lo, mid, hi = eigvals3x3_components(*comps)
+    gx, gy, gz = eigvec_extreme_components(comps, mid, hi)  # smallest eigvec
+    d_off = -(gx * cx + gy * cy + gz * cz)
+
+    plane_fit = jnp.abs(
+        gx[:, None] * nx + gy[:, None] * ny + gz[:, None] * nz + d_off[:, None]
+    )
     plane_ok = jnp.all(plane_fit < mcfg.plane_valid_dist, axis=1)
 
-    pd = jnp.sum(n * q, axis=-1) + d_off
-    qn = jnp.linalg.norm(q, axis=-1)
+    pd = gx * qx + gy * qy + gz * qz + d_off
+    qn = jnp.sqrt(qx * qx + qy * qy + qz * qz)
     s = 1.0 - 0.9 * jnp.abs(pd) / jnp.sqrt(jnp.maximum(qn, 1e-9))
     w = jnp.where(ok & plane_ok & (s > 0.1), s, 0.0)
-    return n, pd, w
+    return (gx, gy, gz), pd, w
+
+
+def _gn_normal_equations(qx, qy, qz, g, d, w):
+    """Accumulate H (6,6) and g (6,) from component-plane residuals.
+
+    J row = [q x n, n]; everything stays (Q,) until the final 21 scalar
+    reductions (a (Q, 6) Jacobian array would pad 6 lanes to 128)."""
+    gx, gy, gz = g
+    jx = qy * gz - qz * gy
+    jy = qz * gx - qx * gz
+    jz = qx * gy - qy * gx
+    cols = (jx * w, jy * w, jz * w, gx * w, gy * w, gz * w)
+    r = d * w
+    H = jnp.stack(
+        [jnp.stack([jnp.sum(cols[a] * cols[b]) for b in range(6)]) for a in range(6)]
+    )
+    gvec = jnp.stack([jnp.sum(cols[a] * r) for a in range(6)])
+    return H, gvec
 
 
 def scan_to_map(
@@ -180,11 +249,11 @@ def scan_to_map(
     )
 
     def cond(state):
-        it, _, _, done, _, _, _, _ = state
+        it, done = state[0], state[3]
         return (it < min(m.iter_count_thres, m.max_gn_iterations)) & ~done
 
     def body(state):
-        it, R, t, _, _, _, idx_c, idx_s = state
+        it, R, t, _, _, _, idx_c, idx_s, P_proj, min_lam = state
         qc = corner_xyz @ R.T + t
         qs = surf_xyz @ R.T + t
 
@@ -199,23 +268,33 @@ def scan_to_map(
         nc, dc, wc = _corner_residuals(qc, corner_mask, idx_c, submap, cfg)
         ns, ds_, ws = _surf_residuals(qs, surf_mask, idx_s, submap, cfg)
 
-        q = jnp.concatenate([qc, qs], axis=0)
-        n = jnp.concatenate([nc, ns], axis=0)
-        d = jnp.concatenate([dc, ds_], axis=0)
-        w = jnp.concatenate([wc, ws], axis=0)
+        Hc, gc = _gn_normal_equations(
+            qc[:, 0], qc[:, 1], qc[:, 2], nc, dc, wc
+        )
+        Hs, gs = _gn_normal_equations(
+            qs[:, 0], qs[:, 1], qs[:, 2], ns, ds_, ws
+        )
+        H = Hc + Hs
+        g = gc + gs
+        w_all = jnp.concatenate([wc, ws])
+        r_abs = jnp.abs(jnp.concatenate([dc * wc, ds_ * ws]))
 
-        Jw = jnp.cross(q, n)
-        J = jnp.concatenate([Jw, n], axis=-1) * w[:, None]
-        r = d * w
-        H = J.T @ J
-        g = J.T @ r
+        # Degeneracy projection computed once at iteration 0 and reused —
+        # exactly the reference's matP handling (mapOptmization.cpp:
+        # 1506-1535). Subsequent iterations use a plain regularized solve.
+        def proj0(_):
+            evals, evecs = jnp.linalg.eigh(H)
+            keep = (evals >= m.eigen_threshold).astype(H.dtype)
+            P = evecs @ (evecs.T * keep[:, None])
+            return P, evals[0]
 
-        evals, evecs = jnp.linalg.eigh(H)
-        keep = (evals >= m.eigen_threshold).astype(H.dtype)
-        ginv = jnp.where(evals > 1e-9, 1.0 / jnp.maximum(evals, 1e-9), 0.0)
-        delta = -(evecs @ ((evecs.T @ g) * ginv * keep)) * m.step_size
+        P_proj, min_lam = jax.lax.cond(
+            it == 0, proj0, lambda _: (P_proj, min_lam), None
+        )
+        step = jnp.linalg.solve(H + 1e-6 * jnp.eye(6), g)
+        delta = -(P_proj @ step) * m.step_size
 
-        n_sel = jnp.sum(w > 0)
+        n_sel = jnp.sum(w_all > 0)
         delta = jnp.where((n_sel >= m.min_sel) & enough, delta, 0.0)
         if not m.enable_map_update:
             delta = jnp.zeros_like(delta)
@@ -228,15 +307,21 @@ def scan_to_map(
         done = ((rot_deg < m.stop_thres) & (trans_cm < m.stop_thres)) | (
             n_sel < m.min_sel
         ) | ~enough
-        cf_mean = jnp.sum(jnp.abs(r)) / jnp.maximum(n_sel, 1)
-        return it + 1, R_new, t_new, done, evals[0], cf_mean, idx_c, idx_s
+        cf_mean = jnp.sum(r_abs) / jnp.maximum(n_sel, 1)
+        return (
+            it + 1, R_new, t_new, done, min_lam, cf_mean, idx_c, idx_s,
+            P_proj, min_lam,
+        )
 
     init = (
         jnp.int32(0), R0, t0, jnp.bool_(False), jnp.float32(0), jnp.float32(0),
         jnp.zeros((corner_xyz.shape[0], 5), jnp.int32),
         jnp.zeros((surf_xyz.shape[0], 5), jnp.int32),
+        jnp.eye(6), jnp.float32(0),
     )
-    it, R, t, _, min_lambda, cf_mean, _, _ = jax.lax.while_loop(cond, body, init)
+    it, R, t, _, min_lambda, cf_mean, _, _, _, _ = jax.lax.while_loop(
+        cond, body, init
+    )
 
     diag = MapDiag(
         iterations=it,

@@ -147,22 +147,18 @@ def _nms_extremum(score, cand, col, window=5, max_gap=10, mode="max", rounds=2):
 def _gather_rows(seg: SegmentedScan, pick, cap: int, extra=None):
     """Flatten row-packed picks into a fixed-capacity FeatureCloud.
 
-    Stable compaction via prefix-sum + scatter (O(N) scan instead of a
-    28.8k-element argsort; picks stay in row-major ring order)."""
+    Boolean argsort = stable radix partition (fast on TPU; a cumsum+scatter
+    variant serializes on duplicate overflow writes)."""
     H, W = pick.shape
     flat = pick.reshape(-1)
-    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
-    total = jnp.minimum(pos[-1] + 1, cap)
-    dest = jnp.where(flat & (pos < cap), pos, cap)
-
-    xyz = jnp.zeros((cap + 1, 3)).at[dest].set(seg.xyz.reshape(-1, 3))[:cap]
-    ring_src = jnp.broadcast_to(jnp.arange(H)[:, None], (H, W)).reshape(-1)
-    ring = jnp.full((cap + 1,), -1, jnp.int32).at[dest].set(ring_src)[:cap]
-    rel = jnp.zeros((cap + 1,)).at[dest].set(seg.rel_time.reshape(-1))[:cap]
-    mask = jnp.arange(cap) < total
+    order = jnp.argsort(~flat)[:cap]
+    mask = flat[order]
+    xyz = seg.xyz.reshape(-1, 3)[order]
+    ring = jnp.broadcast_to(jnp.arange(H)[:, None], (H, W)).reshape(-1)[order]
+    rel = seg.rel_time.reshape(-1)[order]
     return FeatureCloud(
         xyz=jnp.where(mask[:, None], xyz, 0.0),
-        ring=jnp.where(mask, ring, -1),
+        ring=jnp.where(mask, ring, -1).astype(jnp.int32),
         rel_time=jnp.where(mask, rel, 0.0),
         mask=mask,
     )

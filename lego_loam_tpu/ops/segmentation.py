@@ -141,12 +141,14 @@ def segment_cloud(grid: ScanGrid, cfg: LegoLoamConfig) -> tuple[ScanGrid, Segmen
     outlier = (label == OUTLIER) & (rows > cfg.laser.ground_scan_index) & (
         cols % 5 == 0
     )
+    # Boolean argsort is a fast radix partition on TPU; a cumsum+scatter
+    # compaction serializes on the duplicate overflow-slot writes (~60x
+    # slower measured).
     No = (H * W) // 5 + 1
     oflat = outlier.reshape(-1)
-    opos = jnp.cumsum(oflat.astype(jnp.int32)) - 1
-    odest = jnp.where(oflat & (opos < No), opos, No)
-    oxyz = jnp.zeros((No + 1, 3)).at[odest].set(grid.xyz.reshape(-1, 3))[:No]
-    omask = jnp.arange(No) < jnp.minimum(opos[-1] + 1, No)
+    oorder = jnp.argsort(~oflat)[:No]
+    oxyz = grid.xyz.reshape(-1, 3)[oorder]
+    omask = oflat[oorder]
 
     seg = SegmentedScan(
         xyz=jnp.where(packed_valid[..., None], pack(grid.xyz), 0.0),

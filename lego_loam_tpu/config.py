@@ -133,7 +133,7 @@ class FeatureConfig:
 class OdometryConfig:
     """Two-step scan-to-scan solver (featureAssociation.cpp:1846-2535)."""
 
-    max_iterations: int = 18
+    max_iterations: int = 12
     search_every: int = 3
     # Convergence: deltaR < 0.1 deg, deltaT < 0.1 cm (featureAssociation.cpp:2006)
     rot_converge_deg: float = 0.1
@@ -189,8 +189,8 @@ class MappingConfig:
     # rebuilds kd-NN every iteration, mapOptmization.cpp:1596-1599; with
     # full GN steps the pose moves little after iteration ~2, so periodic
     # refresh trades negligible accuracy for most of the NN cost.)
-    search_every: int = 3
-    max_gn_iterations: int = 12
+    search_every: int = 4
+    max_gn_iterations: int = 8
     # 5-NN implementation: 'auto' = Pallas streaming kernel on TPU, XLA
     # chunked approx_min_k elsewhere; 'pallas' / 'xla' force one.
     nn_backend: str = "auto"

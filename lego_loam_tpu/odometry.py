@@ -41,9 +41,48 @@ _BIG = jnp.float32(1e30)
 
 
 def _apply_motion(M_R, M_t, cloud: FeatureCloud):
-    """interp(M, s) p per point."""
-    Ri, ti = se3.interp(M_R, M_t, cloud.rel_time)
-    return jnp.einsum("nij,nj->ni", Ri, cloud.xyz) + ti
+    """q_i = exp(s_i log M) p_i, component-wise Rodrigues.
+
+    Per-point (N,3,3) interpolated rotation matrices pad their trailing dims
+    to full TPU tiles; the axis is shared across points (only the angle
+    scales with s), so everything stays in (N,) planes."""
+    xi = se3.log_se3(M_R, M_t)
+    w, v = xi[:3], xi[3:]
+    theta = jnp.linalg.norm(w)
+    safe = theta > 1e-9
+    k = jnp.where(safe, w / jnp.maximum(theta, 1e-12), jnp.zeros(3))
+    kx, ky, kz = k[0], k[1], k[2]
+    s_ = cloud.rel_time
+    th = s_ * theta
+    ct = jnp.cos(th)
+    st = jnp.sin(th)
+
+    px, py, pz = cloud.xyz[:, 0], cloud.xyz[:, 1], cloud.xyz[:, 2]
+    kdotp = kx * px + ky * py + kz * pz
+    cx = ky * pz - kz * py
+    cy = kz * px - kx * pz
+    cz = kx * py - ky * px
+    one_ct = 1.0 - ct
+    rx = px * ct + cx * st + kx * kdotp * one_ct
+    ry = py * ct + cy * st + ky * kdotp * one_ct
+    rz = pz * ct + cz * st + kz * kdotp * one_ct
+
+    # t(s) = J_l(s w) (s v);  J_l(θk) x = x + A (k×x) + B (k(k·x) − x)
+    # with A=(1−cosθ)/θ, B=(θ−sinθ)/θ — both → 0 smoothly as θ→0.
+    svx = s_ * v[0]
+    svy = s_ * v[1]
+    svz = s_ * v[2]
+    A = one_ct / jnp.maximum(th, 1e-12) * safe
+    B = (th - st) / jnp.maximum(th, 1e-12) * safe
+    kxsx = ky * svz - kz * svy
+    kxsy = kz * svx - kx * svz
+    kxsz = kx * svy - ky * svx
+    kdots = kx * svx + ky * svy + kz * svz
+    tx = svx + A * kxsx + B * (kx * kdots - svx)
+    ty = svy + A * kxsy + B * (ky * kdots - svy)
+    tz = svz + A * kxsz + B * (kz * kdots - svz)
+
+    return jnp.stack([rx + tx, ry + ty, rz + tz], axis=-1)
 
 
 # ---------------------------------------------------------------------------

@@ -25,7 +25,10 @@ def loop_cfg():
     return dataclasses.replace(cfg, mapping=mapping)
 
 
-@pytest.mark.slow
+@pytest.mark.skipif(
+    not __import__("os").environ.get("LEGO_SLOW_TESTS"),
+    reason="multi-minute e2e drive; set LEGO_SLOW_TESTS=1 to run",
+)
 def test_circle_drive_closes_loop():
     from lego_loam_tpu.io.synthetic import circle_trajectory, render_scan
     from lego_loam_tpu.pipeline import LegoLoamPipeline

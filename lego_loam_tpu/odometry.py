@@ -108,19 +108,30 @@ def corner_search(q_xyz, query: FeatureCloud, target: FeatureCloud, cfg):
 
 
 def corner_eval(q_xyz, t1, t2, ok, late, cfg):
-    """Point-to-line residual vs cached support points (:1646-1695)."""
+    """Point-to-line residual vs cached support points (:1646-1695).
+
+    Component-plane math throughout (trailing-3 arrays pad to 128 lanes on
+    TPU). Returns the gradient as an (N,) component triple."""
     o = cfg.odometry
-    u = t1 - t2
-    c = jnp.cross(q_xyz - t1, q_xyz - t2)
-    cn = jnp.linalg.norm(c, axis=-1)
-    un = jnp.linalg.norm(u, axis=-1)
+    qx, qy, qz = q_xyz[:, 0], q_xyz[:, 1], q_xyz[:, 2]
+    ux, uy, uz = t1[:, 0] - t2[:, 0], t1[:, 1] - t2[:, 1], t1[:, 2] - t2[:, 2]
+    ax, ay, az = qx - t1[:, 0], qy - t1[:, 1], qz - t1[:, 2]
+    bx, by, bz = qx - t2[:, 0], qy - t2[:, 1], qz - t2[:, 2]
+    cx = ay * bz - az * by
+    cy = az * bx - ax * bz
+    cz = ax * by - ay * bx
+    cn = jnp.sqrt(cx * cx + cy * cy + cz * cz)
+    un = jnp.sqrt(ux * ux + uy * uy + uz * uz)
     dist = cn / jnp.maximum(un, 1e-9)
-    n = jnp.cross(u, c / jnp.maximum(cn, 1e-12)[:, None]) / jnp.maximum(
-        un, 1e-9
-    )[:, None]
+    ci = 1.0 / jnp.maximum(cn, 1e-12)
+    ui = 1.0 / jnp.maximum(un, 1e-9)
+    hx, hy, hz = cx * ci, cy * ci, cz * ci
+    gx = (uy * hz - uz * hy) * ui
+    gy = (uz * hx - ux * hz) * ui
+    gz = (ux * hy - uy * hx) * ui
     s = jnp.where(late, 1.0 - o.weight_slope_corner * jnp.abs(dist), 1.0)
     w = jnp.where(ok & (s > o.weight_min) & (dist > 1e-9), s, 0.0)
-    return n, dist, w
+    return (gx, gy, gz), dist, w
 
 
 def surf_search(q_xyz, query: FeatureCloud, target: FeatureCloud, cfg):
@@ -142,13 +153,20 @@ def surf_search(q_xyz, query: FeatureCloud, target: FeatureCloud, cfg):
 
 
 def surf_eval(q_xyz, t1, t2, t3, ok, late, cfg):
-    """Point-to-plane residual vs cached support points (:1802-1842)."""
+    """Point-to-plane residual vs cached support points (:1802-1842),
+    component-plane math throughout."""
     o = cfg.odometry
-    n = jnp.cross(t2 - t1, t3 - t1)
-    nn = jnp.linalg.norm(n, axis=-1)
-    n = n / jnp.maximum(nn, 1e-12)[:, None]
-    pd = jnp.sum(n * (q_xyz - t1), axis=-1)
-    qn = jnp.linalg.norm(q_xyz, axis=-1)
+    qx, qy, qz = q_xyz[:, 0], q_xyz[:, 1], q_xyz[:, 2]
+    ax, ay, az = t2[:, 0] - t1[:, 0], t2[:, 1] - t1[:, 1], t2[:, 2] - t1[:, 2]
+    bx, by, bz = t3[:, 0] - t1[:, 0], t3[:, 1] - t1[:, 1], t3[:, 2] - t1[:, 2]
+    nx = ay * bz - az * by
+    ny = az * bx - ax * bz
+    nz = ax * by - ay * bx
+    nn = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    inv = 1.0 / jnp.maximum(nn, 1e-12)
+    gx, gy, gz = nx * inv, ny * inv, nz * inv
+    pd = gx * (qx - t1[:, 0]) + gy * (qy - t1[:, 1]) + gz * (qz - t1[:, 2])
+    qn = jnp.sqrt(qx * qx + qy * qy + qz * qz)
     s = jnp.where(
         late,
         1.0
@@ -158,7 +176,7 @@ def surf_eval(q_xyz, t1, t2, t3, ok, late, cfg):
         1.0,
     )
     w = jnp.where(ok & (s > o.weight_min) & (nn > 1e-12), s, 0.0)
-    return n, pd, w
+    return (gx, gy, gz), pd, w
 
 
 # ---------------------------------------------------------------------------
@@ -169,18 +187,28 @@ def surf_eval(q_xyz, t1, t2, t3, ok, late, cfg):
 def _gn_step(q_xyz, rel_time, n, d, w, dof_idx, cfg: LegoLoamConfig):
     """One masked-DOF Gauss-Newton step with degeneracy projection.
 
-    dof_idx: static (3,) int array naming the active twist components.
-    Returns the 6-twist increment and the (deg, cm) step norms used for the
-    convergence test (≙ featureAssociation.cpp:2002-2010)."""
+    dof_idx: static python tuple naming the 3 active twist components.
+    n is an (N,) component triple. Returns the 6-twist increment and the
+    (deg, cm) step norms for the convergence test
+    (≙ featureAssociation.cpp:2002-2010)."""
     o = cfg.odometry
-    s = rel_time[:, None]
-    Jw = jnp.cross(q_xyz, n) * s
-    Jv = n * s
-    J = jnp.concatenate([Jw, Jv], axis=-1)[:, dof_idx] * w[:, None]
+    gx, gy, gz = n
+    qx, qy, qz = q_xyz[:, 0], q_xyz[:, 1], q_xyz[:, 2]
+    s_ = rel_time
+    cols6 = (
+        (qy * gz - qz * gy) * s_ * w,
+        (qz * gx - qx * gz) * s_ * w,
+        (qx * gy - qy * gx) * s_ * w,
+        gx * s_ * w,
+        gy * s_ * w,
+        gz * s_ * w,
+    )
+    cols = [cols6[i] for i in dof_idx]
     r = d * w
-
-    H = J.T @ J
-    g = J.T @ r
+    H = jnp.stack(
+        [jnp.stack([jnp.sum(cols[a] * cols[b]) for b in range(3)]) for a in range(3)]
+    )
+    g = jnp.stack([jnp.sum(cols[a] * r) for a in range(3)])
 
     evals, evecs = jnp.linalg.eigh(H)
     keep = (evals >= o.eigen_threshold).astype(H.dtype)
@@ -189,7 +217,9 @@ def _gn_step(q_xyz, rel_time, n, d, w, dof_idx, cfg: LegoLoamConfig):
 
     n_valid = jnp.sum(w > 0)
     delta3 = jnp.where(n_valid >= o.min_correspondences, delta3, 0.0)
-    delta = jnp.zeros((6,)).at[dof_idx].set(delta3)
+    delta = jnp.zeros((6,))
+    for k, i in enumerate(dof_idx):  # static unroll
+        delta = delta.at[i].set(delta3[k])
     rot_deg = jnp.linalg.norm(delta[:3]) * 180.0 / jnp.pi
     trans_cm = jnp.linalg.norm(delta[3:]) * 100.0
     return delta, rot_deg, trans_cm
@@ -199,7 +229,7 @@ def _solve_stage(M_R, M_t, query, target, search_fn, eval_fn, n_sup, dof_mask, c
     """GN iterations with periodic index refresh (≙ updateTransformation
     loops, featureAssociation.cpp:2505-2535)."""
     o = cfg.odometry
-    dof_idx = jnp.asarray(np.nonzero(np.asarray(dof_mask))[0])
+    dof_idx = tuple(int(i) for i in np.nonzero(np.asarray(dof_mask))[0])
     Q = query.xyz.shape[0]
 
     def cond(state):

@@ -69,20 +69,42 @@ def label_components(grid: ScanGrid, cfg: LegoLoamConfig) -> jax.Array:
     big = jnp.int32(H * W)
     label = jnp.where(candidate, idx, big)
 
+    # Segmented min-scan along a row: propagate the running min through
+    # connected runs (break where the left-edge is absent). Gather-free —
+    # pointer jumping chases labels through 28.8k-element gathers, which are
+    # the slowest primitive on this hardware.
+    def row_min_scan(lab, conn_prev, reverse):
+        def combine(a, b):
+            # b is the later element in scan order
+            fa, va = a
+            fb, vb = b
+            return fa & fb, jnp.where(fb, jnp.minimum(va, vb), vb)
+
+        _, out = jax.lax.associative_scan(
+            combine, (conn_prev, lab), axis=1, reverse=reverse
+        )
+        return out
+
     def sweep(label, _):
-        l = jnp.where(left, jnp.roll(label, 1, axis=1), big)
-        r = jnp.where(right, jnp.roll(label, -1, axis=1), big)
-        u = jnp.full_like(label, big)
-        u = u.at[1:, :].set(jnp.where(up[1:, :], label[:-1, :], big))
-        d = jnp.full_like(label, big)
-        d = d.at[:-1, :].set(jnp.where(down[:-1, :], label[1:, :], big))
-        m = jnp.minimum(jnp.minimum(label, jnp.minimum(l, r)), jnp.minimum(u, d))
-        # pointer jumping: labels are flat indices, chase twice
-        flat = jnp.concatenate([m.reshape(-1), jnp.array([big], jnp.int32)])
-        m = flat[m.reshape(-1)].reshape(H, W)
-        flat = jnp.concatenate([m.reshape(-1), jnp.array([big], jnp.int32)])
-        m = flat[m.reshape(-1)].reshape(H, W)
-        return jnp.where(candidate, jnp.minimum(label, m), big), None
+        # horizontal: full-run propagation both ways
+        m = row_min_scan(label, left, reverse=False)
+        m = jnp.minimum(m, row_min_scan(label, right, reverse=True))
+        # column wrap-around exchange (single boundary fix; the next sweep
+        # propagates it through the runs)
+        wrapped = jnp.roll(m, 1, axis=1)
+        m = jnp.minimum(m, jnp.where(left, wrapped, big))
+        wrapped = jnp.roll(m, -1, axis=1)
+        m = jnp.minimum(m, jnp.where(right, wrapped, big))
+        # vertical relaxation across all H rows
+        def vstep(lab, _):
+            u = jnp.full_like(lab, big)
+            u = u.at[1:, :].set(jnp.where(up[1:, :], lab[:-1, :], big))
+            d = jnp.full_like(lab, big)
+            d = d.at[:-1, :].set(jnp.where(down[:-1, :], lab[1:, :], big))
+            return jnp.minimum(lab, jnp.minimum(u, d)), None
+
+        m, _ = jax.lax.scan(vstep, m, None, length=H - 1)
+        return jnp.where(candidate, m, big), None
 
     label, _ = jax.lax.scan(
         sweep, label, None, length=cfg.segmentation.label_prop_iters
@@ -92,11 +114,19 @@ def label_components(grid: ScanGrid, cfg: LegoLoamConfig) -> jax.Array:
     flat = label.reshape(-1)
     ones = candidate.reshape(-1).astype(jnp.int32)
     sizes = jax.ops.segment_sum(ones, flat, num_segments=H * W + 1)
-    # distinct-row count per root: mark (root, row) presence then sum rows
-    row_ids = jnp.broadcast_to(jnp.arange(H)[:, None], (H, W)).reshape(-1)
-    pres = jnp.zeros((H * W + 1, H), jnp.int32)
-    pres = pres.at[flat, row_ids].max(ones)
-    row_counts = jnp.sum(pres, axis=1)
+    # distinct-row count per root: one mark per (row, label) first occurrence
+    # (per-row sort; avoids a (H*W, H) presence table)
+    order = jnp.argsort(label, axis=1)
+    lab_sorted = jnp.take_along_axis(label, order, axis=1)
+    first = jnp.concatenate(
+        [jnp.ones((H, 1), bool), lab_sorted[:, 1:] != lab_sorted[:, :-1]], axis=1
+    )
+    first = first & (lab_sorted < big)
+    row_counts = jax.ops.segment_sum(
+        first.reshape(-1).astype(jnp.int32),
+        lab_sorted.reshape(-1),
+        num_segments=H * W + 1,
+    )
 
     seg = cfg.segmentation
     feasible = (sizes >= seg.segment_large_point_num) | (

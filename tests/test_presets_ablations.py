@@ -1,0 +1,110 @@
+"""Sensor presets and reference-ablation flags."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lego_loam_tpu.config import get_config, hdl64e, vlp16, vlp32c
+
+
+def test_presets_mirror_reference_yaml():
+    """Spot-check the values against loam_config.yaml."""
+    c16 = vlp16()
+    assert c16.laser.num_vertical_scans == 16
+    assert c16.features.edge_threshold == pytest.approx(0.03)
+    assert c16.mapping.enable_loop_closure is False
+    assert c16.mapping.iter_count_thres == 200
+
+    c32 = vlp32c()
+    assert c32.laser.num_vertical_scans == 32
+    assert c32.laser.use_vlp32c is True
+    assert c32.features.edge_threshold == pytest.approx(0.005)
+    assert c32.mapping.enable_loop_closure is True
+    assert c32.mapping.iter_count_thres == 50
+    assert c32.mapping.history_keyframe_fitness_score == pytest.approx(1.5)
+
+    c64 = hdl64e()
+    assert c64.laser.num_vertical_scans == 64
+    assert c64.laser.use_kitti is True
+    assert c64.laser.ground_scan_index == 50
+    assert c64.features.nearest_feature_search_distance == pytest.approx(25.0)
+    assert c64.features.dbscan_radius == pytest.approx(7.5)
+
+    with pytest.raises(KeyError):
+        get_config("HDL-32")
+
+
+def test_vlp32c_frontend_runs():
+    """Stage-1 + features compile and produce output for the 32-beam preset."""
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from lego_loam_tpu.frontend import stage1
+    from lego_loam_tpu.io.synthetic import render_scan
+    from lego_loam_tpu.ops.features import extract_features
+
+    cfg = vlp32c()
+    pts = render_scan(np.eye(3), np.zeros(3), cfg)
+    n = cfg.laser.max_points
+    mask = np.isfinite(pts).all(axis=1)
+    buf = np.zeros((n, 3), np.float32)
+    m = np.zeros((n,), bool)
+    k = min(len(pts), n)
+    buf[:k] = np.nan_to_num(pts[:k])
+    m[:k] = mask[:k]
+    grid, seg = stage1(jnp.asarray(buf), jnp.asarray(m), cfg)
+    assert grid.range.shape == (32, 1800)
+    assert int(seg.count.sum()) > 500
+    feats = extract_features(seg, cfg)
+    assert int(feats.surf_flat.count) > 50
+
+
+def test_map_update_ablation_matches_reference_behaviour():
+    """enable_map_update=False reproduces the reference's as-committed state:
+    the mapped pose never deviates from the odometry prior
+    (mapOptmization.cpp:1539-1545 commented out)."""
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_backend import small_cfg
+    from lego_loam_tpu.io.synthetic import render_scan, straight_trajectory
+    from lego_loam_tpu.pipeline import LegoLoamPipeline
+
+    cfg = small_cfg()
+    cfg = dataclasses.replace(
+        cfg, mapping=dataclasses.replace(cfg.mapping, enable_map_update=False)
+    )
+    poses = straight_trajectory(4, speed=0.2)
+    pipe = LegoLoamPipeline(cfg)
+    for i, (R, t) in enumerate(poses):
+        pipe.process_scan(render_scan(R, t, cfg, seed=50 + i))
+    pipe.finalize()
+    map_pos = np.asarray(pipe.trajectory["positions"])
+    odom_pos = pipe.odom_positions
+    np.testing.assert_allclose(map_pos, odom_pos, atol=1e-5)
+
+
+def test_mapping_frequency_divider():
+    """mapping_frequency_divider=2 maps every other scan (latest-wins ≙
+    the non-blocking FA->MO channel, main.cpp:11)."""
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_backend import small_cfg
+    from lego_loam_tpu.io.synthetic import render_scan, straight_trajectory
+    from lego_loam_tpu.pipeline import LegoLoamPipeline
+
+    cfg = small_cfg()
+    cfg = dataclasses.replace(
+        cfg, mapping=dataclasses.replace(cfg.mapping, mapping_frequency_divider=2)
+    )
+    poses = straight_trajectory(6, speed=0.2)
+    pipe = LegoLoamPipeline(cfg)
+    for i, (R, t) in enumerate(poses):
+        pipe.process_scan(render_scan(R, t, cfg, seed=60 + i))
+    pipe.finalize()
+    assert len(pipe.trajectory["positions"]) == 3  # frames 0, 2, 4
+    assert len(pipe.odom_positions) == 6

@@ -261,6 +261,9 @@ class DistributedConfig:
     mesh_axis_map: str = "map"  # map blocks sharded (tp-like)
     cg_iterations: int = 64
     cg_tolerance: float = 1e-6
+    # Use the mesh-sharded pose-graph solver for loop-closure corrections
+    # when more than one device is visible.
+    use_sharded_posegraph: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

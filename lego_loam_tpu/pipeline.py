@@ -80,6 +80,12 @@ class LegoLoamPipeline:
                 src, sm, tgt, tm, cfg, R0, t0
             )
         )
+        self._mesh = None
+        if cfg.distributed.use_sharded_posegraph and len(jax.devices()) > 1:
+            from .distributed import make_mesh, sharded_pose_graph_solver
+
+            self._mesh = make_mesh()
+            self._solve_graph_sharded = sharded_pose_graph_solver(self._mesh, cfg)
         self._solve_graph = jax.jit(
             lambda R, t, f, mask: solve_pose_graph(R, t, f, mask, cfg)
         )
@@ -326,9 +332,37 @@ class LegoLoamPipeline:
             ),
         )
         active = jnp.arange(K) < n_kf
-        newR, newt = self._solve_graph(
-            self.bstate.kf_R, self.bstate.kf_t, factors, active
-        )
+        if self._mesh is not None:
+            # shard factors over the mesh (pad count to the device multiple)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            ndev = self._mesh.devices.size
+            F = factors.i.shape[0]
+            pad = (-F) % ndev
+            if pad:
+                factors = Factors(
+                    i=jnp.pad(factors.i, (0, pad)),
+                    j=jnp.pad(factors.j, (0, pad)),
+                    R=jnp.pad(factors.R, ((0, pad), (0, 0), (0, 0))),
+                    t=jnp.pad(factors.t, ((0, pad), (0, 0))),
+                    info=jnp.pad(factors.info, ((0, pad), (0, 0))),
+                    mask=jnp.pad(factors.mask, (0, pad)),
+                )
+            spec = NamedSharding(self._mesh, P(("graph", "map")))
+            rep = NamedSharding(self._mesh, P())
+            factors = jax.tree.map(lambda x: jax.device_put(x, spec), factors)
+            newR, newt = self._solve_graph_sharded(
+                jax.device_put(self.bstate.kf_R, rep),
+                jax.device_put(self.bstate.kf_t, rep),
+                factors,
+                jax.device_put(active, rep),
+            )
+            newR = jax.device_put(newR, jax.devices()[0])
+            newt = jax.device_put(newt, jax.devices()[0])
+        else:
+            newR, newt = self._solve_graph(
+                self.bstate.kf_R, self.bstate.kf_t, factors, active
+            )
         self.bstate = self.bstate.replace(
             kf_R=newR,
             kf_t=newt,

@@ -12,6 +12,22 @@ sys.path.insert(0, os.path.dirname(__file__))
 
 
 def test_pipeline_uses_sharded_solver():
+    """Runs in a subprocess: constructing a Mesh poisons later jit programs
+    in the same process on jax 0.9 (same family as the donation/buffer-count
+    interaction noted in pipeline.py)."""
+    import subprocess
+
+    code = "import os; os.environ['JAX_PLATFORMS']='cpu'; "         "os.environ['XLA_FLAGS']='--xla_force_host_platform_device_count=8'; "         "import jax; jax.config.update('jax_platforms','cpu'); "         "import sys; sys.path.insert(0, r'%s'); sys.path.insert(0, r'%s'); "         "from test_sharded_pipeline import _run_sharded_pipeline_check; "         "_run_sharded_pipeline_check()" % (
+            os.path.dirname(__file__),
+            os.path.dirname(os.path.dirname(__file__)),
+        )
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=900
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+
+def _run_sharded_pipeline_check():
     assert len(jax.devices()) >= 8
     from test_backend import small_cfg
     from test_loopclosure_e2e import loop_cfg

@@ -33,9 +33,15 @@ class BackendState(struct.PyTreeNode):
     kf_R: jax.Array  # (K, 3, 3)
     kf_t: jax.Array  # (K, 3)
     kf_time: jax.Array  # (K,)
-    kf_corner: jax.Array  # (K, Nc, 3) sensor-frame corner cloud per keyframe
+    # Keyframe clouds are stored FLAT, point-major: row k = [x0,y0,z0,x1,...].
+    # A (K, N, 3) buffer tiles its trailing dim 3 up to a full 128-lane TPU
+    # tile whenever XLA materializes a copy (e.g. the lax.scan carry in the
+    # chunked pipeline) — a 43x HBM blowup that OOMs the chip. The flat
+    # (K, 3N) layout copies at its true size; use kf_corner_view()/
+    # kf_surf_view() for the (K, N, 3) logical shape.
+    kf_corner: jax.Array  # (K, 3*Nc) sensor-frame corner cloud per keyframe
     kf_corner_mask: jax.Array  # (K, Nc)
-    kf_surf: jax.Array  # (K, Ns, 3) sensor-frame surf+outlier cloud
+    kf_surf: jax.Array  # (K, 3*Ns) sensor-frame surf+outlier cloud
     kf_surf_mask: jax.Array  # (K, Ns)
     # Odometry-chain measurement from keyframe k-1 to k, recorded at append
     # time (feeds the pose-graph BetweenFactor chain, ≙ mapOptmization.cpp:
@@ -51,6 +57,14 @@ class BackendState(struct.PyTreeNode):
     submap: MapState
     submap_center: jax.Array  # (3,) position at last rebuild
     submap_n_kf: jax.Array  # () n_kf at last rebuild
+
+    def kf_corner_view(self):
+        K = self.kf_corner.shape[0]
+        return self.kf_corner.reshape(K, -1, 3)
+
+    def kf_surf_view(self):
+        K = self.kf_surf.shape[0]
+        return self.kf_surf.reshape(K, -1, 3)
 
 
 # Per-keyframe cloud capacities (post-voxel-DS).
@@ -76,9 +90,9 @@ def init_backend_state(cfg: LegoLoamConfig) -> BackendState:
         kf_R=jnp.tile(eye3()[None], (K, 1, 1)),
         kf_t=zeros((K, 3)),
         kf_time=zeros((K,)),
-        kf_corner=zeros((K, KF_CORNER_CAP, 3)),
+        kf_corner=zeros((K, KF_CORNER_CAP * 3)),
         kf_corner_mask=jnp.asarray(np.zeros((K, KF_CORNER_CAP), bool)),
-        kf_surf=zeros((K, KF_SURF_CAP, 3)),
+        kf_surf=zeros((K, KF_SURF_CAP * 3)),
         kf_surf_mask=jnp.asarray(np.zeros((K, KF_SURF_CAP), bool)),
         kf_rel_R=jnp.tile(eye3()[None], (K, 1, 1)),
         kf_rel_t=zeros((K, 3)),
@@ -168,9 +182,9 @@ def backend_step(
     def rebuild(_):
         idx, valid = _select_keyframes(state, t_prior, cfg)
         sm = assemble_submap(
-            state.kf_corner[idx],
+            state.kf_corner[idx].reshape(-1, KF_CORNER_CAP, 3),
             state.kf_corner_mask[idx],
-            state.kf_surf[idx],
+            state.kf_surf[idx].reshape(-1, KF_SURF_CAP, 3),
             state.kf_surf_mask[idx],
             state.kf_R[idx],
             state.kf_t[idx],
@@ -209,9 +223,11 @@ def backend_step(
             kf_R=s.kf_R.at[slot].set(R_new),
             kf_t=s.kf_t.at[slot].set(t_new),
             kf_time=s.kf_time.at[slot].set(time),
-            kf_corner=s.kf_corner.at[slot].set(c_xyz[:KF_CORNER_CAP]),
+            kf_corner=s.kf_corner.at[slot].set(
+                c_xyz[:KF_CORNER_CAP].reshape(-1)
+            ),
             kf_corner_mask=s.kf_corner_mask.at[slot].set(c_m[:KF_CORNER_CAP]),
-            kf_surf=s.kf_surf.at[slot].set(s_xyz[:KF_SURF_CAP]),
+            kf_surf=s.kf_surf.at[slot].set(s_xyz[:KF_SURF_CAP].reshape(-1)),
             kf_surf_mask=s.kf_surf_mask.at[slot].set(s_m[:KF_SURF_CAP]),
             n_kf=jnp.minimum(s.n_kf + 1, s.kf_t.shape[0]),
         )

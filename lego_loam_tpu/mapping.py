@@ -110,15 +110,19 @@ def _nbr_components(points, idx):
     return points[:, 0][idx], points[:, 1][idx], points[:, 2][idx]
 
 
-def _corner_residuals(q, q_mask, idx, submap: MapState, cfg: LegoLoamConfig):
-    """5-NN line-fit point-to-line residuals (mapOptmization.cpp:1269-1377).
-
-    Fully component-wise: covariance entries, closed-form eigenvectors, and
-    the point-to-line geometry all stay in (Q,) planes."""
+def _corner_fit(q, q_mask, idx, submap: MapState, cfg: LegoLoamConfig):
+    """Pose-independent part of the corner residual: 5-NN covariance line fit
+    (mapOptmization.cpp:1283-1333). Runs only at index-refresh time — the
+    fitted line (center c, direction v) and validity gate depend on the
+    neighbor set alone, not on the pose iterate, so they are hoisted out of
+    the GN loop. Returns (Q,) component planes (cx,cy,cz,vx,vy,vz,ok)."""
     mcfg = cfg.mapping
     qx, qy, qz = q[:, 0], q[:, 1], q[:, 2]
     nx, ny, nz = _nbr_components(submap.corner_xyz, idx)  # (Q, 5)
 
+    # The reference re-searches each iteration and gates on the 5th-NN
+    # distance from the *current* transformed point; evaluating the gate at
+    # refresh time changes it by the (mm-scale) inter-refresh pose motion.
     d2_now = (nx - qx[:, None]) ** 2 + (ny - qy[:, None]) ** 2 + (nz - qz[:, None]) ** 2
     ok = q_mask & (jnp.max(d2_now, axis=1) < mcfg.nn_valid_dist)
 
@@ -138,10 +142,19 @@ def _corner_residuals(q, q_mask, idx, submap: MapState, cfg: LegoLoamConfig):
     lo, mid, hi = eigvals3x3_components(*comps)
     line_ok = hi > mcfg.line_ratio * mid
     vx, vy, vz = eigvec_extreme_components(comps, lo, mid)  # largest eigvec
+    return cx, cy, cz, vx, vy, vz, ok & line_ok
 
-    # point-to-line for the segment c ± 0.1 v: with p = q - c,
-    # cr = (p - 0.1v) x (p + 0.1v) = 0.2 (p x v); dist = |p x v|;
-    # gradient n = v x (p x v)/|p x v| (unit, as in the reference algebra).
+
+def _corner_residuals(q, fit):
+    """Pose-dependent corner residual vs the cached line fit
+    (mapOptmization.cpp:1335-1377): pure (Q,)-plane arithmetic, runs every
+    GN iteration.
+
+    point-to-line for the segment c ± 0.1 v: with p = q - c,
+    cr = (p - 0.1v) x (p + 0.1v) = 0.2 (p x v); dist = |p x v|;
+    gradient n = v x (p x v)/|p x v| (unit, as in the reference algebra)."""
+    cx, cy, cz, vx, vy, vz, ok = fit
+    qx, qy, qz = q[:, 0], q[:, 1], q[:, 2]
     px = qx - cx
     py = qy - cy
     pz = qz - cz
@@ -157,7 +170,7 @@ def _corner_residuals(q, q_mask, idx, submap: MapState, cfg: LegoLoamConfig):
     gz = vx * uy - vy * ux
 
     s = 1.0 - 0.9 * jnp.abs(dist)
-    w = jnp.where(ok & line_ok & (s > 0.1), s, 0.0)
+    w = jnp.where(ok & (s > 0.1), s, 0.0)
     return (gx, gy, gz), dist, w
 
 
@@ -178,9 +191,10 @@ def plane_fit_pca(nbr):
     return n, off
 
 
-def _surf_residuals(q, q_mask, idx, submap: MapState, cfg: LegoLoamConfig):
-    """5-NN PCA-plane point-to-plane residuals (mapOptmization.cpp:1379-1442),
-    fully component-wise (see _corner_residuals)."""
+def _surf_fit(q, q_mask, idx, submap: MapState, cfg: LegoLoamConfig):
+    """Pose-independent part of the surf residual: 5-NN PCA plane fit +
+    planarity gate (mapOptmization.cpp:1390-1423), hoisted to refresh time
+    (see _corner_fit). Returns (gx,gy,gz,d_off,ok) component planes."""
     mcfg = cfg.mapping
     qx, qy, qz = q[:, 0], q[:, 1], q[:, 2]
     nx, ny, nz = _nbr_components(submap.surf_xyz, idx)  # (Q, 5)
@@ -207,11 +221,18 @@ def _surf_residuals(q, q_mask, idx, submap: MapState, cfg: LegoLoamConfig):
         gx[:, None] * nx + gy[:, None] * ny + gz[:, None] * nz + d_off[:, None]
     )
     plane_ok = jnp.all(plane_fit < mcfg.plane_valid_dist, axis=1)
+    return gx, gy, gz, d_off, ok & plane_ok
 
+
+def _surf_residuals(q, fit):
+    """Pose-dependent surf residual vs the cached plane fit
+    (mapOptmization.cpp:1425-1442): runs every GN iteration."""
+    gx, gy, gz, d_off, ok = fit
+    qx, qy, qz = q[:, 0], q[:, 1], q[:, 2]
     pd = gx * qx + gy * qy + gz * qz + d_off
     qn = jnp.sqrt(qx * qx + qy * qy + qz * qz)
     s = 1.0 - 0.9 * jnp.abs(pd) / jnp.sqrt(jnp.maximum(qn, 1e-9))
-    w = jnp.where(ok & plane_ok & (s > 0.1), s, 0.0)
+    w = jnp.where(ok & (s > 0.1), s, 0.0)
     return (gx, gy, gz), pd, w
 
 
@@ -253,20 +274,22 @@ def scan_to_map(
         return (it < min(m.iter_count_thres, m.max_gn_iterations)) & ~done
 
     def body(state):
-        it, R, t, _, _, _, idx_c, idx_s, P_proj, min_lam = state
+        it, R, t, _, _, _, fit_c, fit_s, P_proj, min_lam = state
         qc = corner_xyz @ R.T + t
         qs = surf_xyz @ R.T + t
 
         def refresh(_):
             ic, _d = _nn5(qc, submap.corner_xyz, submap.corner_mask, cfg)
             isf, _d2 = _nn5(qs, submap.surf_xyz, submap.surf_mask, cfg)
-            return jnp.maximum(ic, 0), jnp.maximum(isf, 0)
+            fc = _corner_fit(qc, corner_mask, jnp.maximum(ic, 0), submap, cfg)
+            fs = _surf_fit(qs, surf_mask, jnp.maximum(isf, 0), submap, cfg)
+            return fc, fs
 
-        idx_c, idx_s = jax.lax.cond(
-            (it % m.search_every) == 0, refresh, lambda x: x, (idx_c, idx_s)
+        fit_c, fit_s = jax.lax.cond(
+            (it % m.search_every) == 0, refresh, lambda x: x, (fit_c, fit_s)
         )
-        nc, dc, wc = _corner_residuals(qc, corner_mask, idx_c, submap, cfg)
-        ns, ds_, ws = _surf_residuals(qs, surf_mask, idx_s, submap, cfg)
+        nc, dc, wc = _corner_residuals(qc, fit_c)
+        ns, ds_, ws = _surf_residuals(qs, fit_s)
 
         Hc, gc = _gn_normal_equations(
             qc[:, 0], qc[:, 1], qc[:, 2], nc, dc, wc
@@ -309,14 +332,18 @@ def scan_to_map(
         ) | ~enough
         cf_mean = jnp.sum(r_abs) / jnp.maximum(n_sel, 1)
         return (
-            it + 1, R_new, t_new, done, min_lam, cf_mean, idx_c, idx_s,
+            it + 1, R_new, t_new, done, min_lam, cf_mean, fit_c, fit_s,
             P_proj, min_lam,
         )
 
+    Qc = corner_xyz.shape[0]
+    Qs = surf_xyz.shape[0]
+    zc = jnp.zeros((Qc,))
+    zs = jnp.zeros((Qs,))
     init = (
         jnp.int32(0), R0, t0, jnp.bool_(False), jnp.float32(0), jnp.float32(0),
-        jnp.zeros((corner_xyz.shape[0], 5), jnp.int32),
-        jnp.zeros((surf_xyz.shape[0], 5), jnp.int32),
+        (zc, zc, zc, zc, zc, zc, jnp.zeros((Qc,), bool)),
+        (zs, zs, zs, zs, jnp.zeros((Qs,), bool)),
         jnp.eye(6), jnp.float32(0),
     )
     it, R, t, _, min_lambda, cf_mean, _, _, _, _ = jax.lax.while_loop(

@@ -39,9 +39,9 @@ def gather_keyframe_clouds(bstate, max_kf=None):
         {
             "R": bstate.kf_R[:n],
             "t": bstate.kf_t[:n],
-            "c": bstate.kf_corner[:n],
+            "c": bstate.kf_corner_view()[:n],
             "cm": bstate.kf_corner_mask[:n],
-            "s": bstate.kf_surf[:n],
+            "s": bstate.kf_surf_view()[:n],
             "sm": bstate.kf_surf_mask[:n],
             "time": bstate.kf_time[:n],
         }

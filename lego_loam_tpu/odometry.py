@@ -107,24 +107,33 @@ def corner_search(q_xyz, query: FeatureCloud, target: FeatureCloud, cfg):
     return i1, i2, ok
 
 
-def corner_eval(q_xyz, t1, t2, ok, late, cfg):
-    """Point-to-line residual vs cached support points (:1646-1695).
+def corner_fit(t1, t2, ok):
+    """Pose-independent line support from the cached index pair: anchor t1,
+    direction u = t1 - t2 (precomputed unit inverse). Hoisted out of the GN
+    loop — the support segment doesn't move with the pose iterate."""
+    ux, uy, uz = t1[:, 0] - t2[:, 0], t1[:, 1] - t2[:, 1], t1[:, 2] - t2[:, 2]
+    un = jnp.sqrt(ux * ux + uy * uy + uz * uz)
+    ui = 1.0 / jnp.maximum(un, 1e-9)
+    return (t1[:, 0], t1[:, 1], t1[:, 2], ux, uy, uz, ui, ok)
+
+
+def corner_eval(q_xyz, fit, late, cfg):
+    """Point-to-line residual vs the cached line (:1646-1695), every GN
+    iteration. With a = q - t1 and u = t1 - t2:
+    (q-t1) x (q-t2) = a x (a+u) = a x u — only t1 and u are needed.
 
     Component-plane math throughout (trailing-3 arrays pad to 128 lanes on
     TPU). Returns the gradient as an (N,) component triple."""
     o = cfg.odometry
+    t1x, t1y, t1z, ux, uy, uz, ui, ok = fit
     qx, qy, qz = q_xyz[:, 0], q_xyz[:, 1], q_xyz[:, 2]
-    ux, uy, uz = t1[:, 0] - t2[:, 0], t1[:, 1] - t2[:, 1], t1[:, 2] - t2[:, 2]
-    ax, ay, az = qx - t1[:, 0], qy - t1[:, 1], qz - t1[:, 2]
-    bx, by, bz = qx - t2[:, 0], qy - t2[:, 1], qz - t2[:, 2]
-    cx = ay * bz - az * by
-    cy = az * bx - ax * bz
-    cz = ax * by - ay * bx
+    ax, ay, az = qx - t1x, qy - t1y, qz - t1z
+    cx = ay * uz - az * uy
+    cy = az * ux - ax * uz
+    cz = ax * uy - ay * ux
     cn = jnp.sqrt(cx * cx + cy * cy + cz * cz)
-    un = jnp.sqrt(ux * ux + uy * uy + uz * uz)
-    dist = cn / jnp.maximum(un, 1e-9)
+    dist = cn * ui
     ci = 1.0 / jnp.maximum(cn, 1e-12)
-    ui = 1.0 / jnp.maximum(un, 1e-9)
     hx, hy, hz = cx * ci, cy * ci, cz * ci
     gx = (uy * hz - uz * hy) * ui
     gy = (uz * hx - ux * hz) * ui
@@ -152,11 +161,9 @@ def surf_search(q_xyz, query: FeatureCloud, target: FeatureCloud, cfg):
     return i1, i2, i3, ok
 
 
-def surf_eval(q_xyz, t1, t2, t3, ok, late, cfg):
-    """Point-to-plane residual vs cached support points (:1802-1842),
-    component-plane math throughout."""
-    o = cfg.odometry
-    qx, qy, qz = q_xyz[:, 0], q_xyz[:, 1], q_xyz[:, 2]
+def surf_fit(t1, t2, t3, ok):
+    """Pose-independent plane from the cached support triple (unit normal g,
+    offset d = -g·t1), hoisted out of the GN loop."""
     ax, ay, az = t2[:, 0] - t1[:, 0], t2[:, 1] - t1[:, 1], t2[:, 2] - t1[:, 2]
     bx, by, bz = t3[:, 0] - t1[:, 0], t3[:, 1] - t1[:, 1], t3[:, 2] - t1[:, 2]
     nx = ay * bz - az * by
@@ -165,7 +172,17 @@ def surf_eval(q_xyz, t1, t2, t3, ok, late, cfg):
     nn = jnp.sqrt(nx * nx + ny * ny + nz * nz)
     inv = 1.0 / jnp.maximum(nn, 1e-12)
     gx, gy, gz = nx * inv, ny * inv, nz * inv
-    pd = gx * (qx - t1[:, 0]) + gy * (qy - t1[:, 1]) + gz * (qz - t1[:, 2])
+    d_off = -(gx * t1[:, 0] + gy * t1[:, 1] + gz * t1[:, 2])
+    return (gx, gy, gz, d_off, ok & (nn > 1e-12))
+
+
+def surf_eval(q_xyz, fit, late, cfg):
+    """Point-to-plane residual vs the cached plane (:1802-1842), every GN
+    iteration; component-plane math throughout."""
+    o = cfg.odometry
+    gx, gy, gz, d_off, ok = fit
+    qx, qy, qz = q_xyz[:, 0], q_xyz[:, 1], q_xyz[:, 2]
+    pd = gx * qx + gy * qy + gz * qz + d_off
     qn = jnp.sqrt(qx * qx + qy * qy + qz * qz)
     s = jnp.where(
         late,
@@ -175,7 +192,7 @@ def surf_eval(q_xyz, t1, t2, t3, ok, late, cfg):
         / jnp.sqrt(jnp.sqrt(jnp.maximum(qn, 1e-9))),
         1.0,
     )
-    w = jnp.where(ok & (s > o.weight_min) & (nn > 1e-12), s, 0.0)
+    w = jnp.where(ok & (s > o.weight_min), s, 0.0)
     return (gx, gy, gz), pd, w
 
 
@@ -225,48 +242,50 @@ def _gn_step(q_xyz, rel_time, n, d, w, dof_idx, cfg: LegoLoamConfig):
     return delta, rot_deg, trans_cm
 
 
-def _solve_stage(M_R, M_t, query, target, search_fn, eval_fn, n_sup, dof_mask, cfg):
-    """GN iterations with periodic index refresh (≙ updateTransformation
-    loops, featureAssociation.cpp:2505-2535)."""
+def _solve_stage(
+    M_R, M_t, query, target, search_fn, fit_fn, eval_fn, n_sup, dof_mask, cfg
+):
+    """GN iterations with periodic correspondence refresh (≙
+    updateTransformation loops, featureAssociation.cpp:2505-2535).
+
+    The pose-independent line/plane fit (fit_fn) runs only at refresh time;
+    every iteration evaluates only the cheap pose-dependent residual
+    (eval_fn) against the cached fit."""
     o = cfg.odometry
     dof_idx = tuple(int(i) for i in np.nonzero(np.asarray(dof_mask))[0])
     Q = query.xyz.shape[0]
 
     def cond(state):
-        it, _, _, _, _, done = state
+        it, _, _, _, done = state
         return (it < o.max_iterations) & ~done
 
     def body(state):
-        it, R, t, sup_idx, ok, _ = state
+        it, R, t, fit, _ = state
         late = it >= 5
         q_xyz = _apply_motion(R, t, query)
 
         def refresh(_):
             res = search_fn(q_xyz, query, target, cfg)
-            return jnp.stack(res[:-1], axis=0), res[-1]
+            sup = [target.xyz[res[k]] for k in range(n_sup)]
+            return fit_fn(*sup, res[-1])
 
-        sup_idx, ok = jax.lax.cond(
-            (it % o.search_every) == 0, refresh, lambda x: x, (sup_idx, ok)
+        fit = jax.lax.cond(
+            (it % o.search_every) == 0, refresh, lambda f: f, fit
         )
-        sup = [target.xyz[sup_idx[k]] for k in range(n_sup)]
-        n, d, w = eval_fn(q_xyz, *sup, ok, late, cfg)
+        n, d, w = eval_fn(q_xyz, fit, late, cfg)
         delta, rot_deg, trans_cm = _gn_step(
             q_xyz, query.rel_time, n, d, w, dof_idx, cfg
         )
         dR, dt = se3.exp_se3(delta)
         R_new, t_new = se3.compose(dR, dt, R, t)
         done = (rot_deg < o.rot_converge_deg) & (trans_cm < o.trans_converge_cm)
-        return it + 1, R_new, t_new, sup_idx, ok, done
+        return it + 1, R_new, t_new, fit, done
 
-    init = (
-        jnp.int32(0),
-        M_R,
-        M_t,
-        jnp.zeros((n_sup, Q), jnp.int32),
-        jnp.zeros((Q,), bool),
-        jnp.bool_(False),
+    fit0 = fit_fn(
+        *([jnp.zeros((Q, 3))] * n_sup), jnp.zeros((Q,), bool)
     )
-    _, R, t, _, _, _ = jax.lax.while_loop(cond, body, init)
+    init = (jnp.int32(0), M_R, M_t, fit0, jnp.bool_(False))
+    _, R, t, _, _ = jax.lax.while_loop(cond, body, init)
     return R, t
 
 
@@ -287,12 +306,12 @@ def two_step_odometry(
     R, t = _solve_stage(
         M_R_init, M_t_init,
         features.surf_flat, last_surf,
-        surf_search, surf_eval, 3, SURF_DOFS, cfg,
+        surf_search, surf_fit, surf_eval, 3, SURF_DOFS, cfg,
     )
     R, t = _solve_stage(
         R, t,
         features.corner_sharp, last_corner,
-        corner_search, corner_eval, 2, CORNER_DOFS, cfg,
+        corner_search, corner_fit, corner_eval, 2, CORNER_DOFS, cfg,
     )
     return R, t
 

@@ -89,6 +89,11 @@ class LegoLoamPipeline:
         self._solve_graph = jax.jit(
             lambda R, t, f, mask: solve_pose_graph(R, t, f, mask, cfg)
         )
+        # Chunked device-resident runner (built lazily; one cache entry per
+        # chunk length). On a relay-attached TPU each per-frame dispatch
+        # costs more than the device programs themselves — lax.scan over a
+        # chunk of scans runs C frames per host round trip.
+        self._chunk_runner = None
 
         self.fstate: OdometryState = init_odometry_state(cfg)
         self.bstate: BackendState = init_backend_state(cfg)
@@ -188,6 +193,155 @@ class LegoLoamPipeline:
             "t_fused": out["t_fused"],
         }
 
+    # -- chunked device-resident driver --------------------------------------
+
+    def _build_chunk_runner(self):
+        """jit(lax.scan) over a chunk of scans: C frames per host dispatch.
+
+        On a relay-attached TPU the per-frame host dispatch + scalar uploads
+        cost far more than the device programs themselves (~70 ms vs ~12 ms);
+        scanning a chunk on device removes all of it. The keyframe store
+        rides the scan carry — kept copy-friendly by the flat cloud layout
+        (see BackendState) — and buffer donation keeps it in place between
+        chunks."""
+        from functools import partial
+
+        from .frontend import frontend_step_fused
+        from .mapping import MapDiag
+
+        cfg = self.cfg
+        div = cfg.mapping.mapping_frequency_divider
+
+        def step(carry, inp):
+            fstate, bstate, idx = carry
+            pts, mask, t_scan = inp
+            fstate, out = frontend_step_fused(
+                pts, mask, fstate, idx, bstate.R_map, bstate.t_map,
+                bstate.R_odom, bstate.t_odom, cfg,
+            )
+
+            def do_map(bs):
+                bs, _pose, diag = backend_step(
+                    bs, out["features"], out["segmented"].outlier_xyz,
+                    out["segmented"].outlier_mask,
+                    out["R_world"], out["t_world"], t_scan, cfg,
+                )
+                return bs, diag
+
+            if div == 1:
+                bstate, diag = do_map(bstate)
+            else:
+                def skip(bs):
+                    z = jnp.float32(0)
+                    return bs, MapDiag(
+                        jnp.int32(0), z, z, jnp.bool_(False),
+                        jnp.int32(0), jnp.int32(0),
+                    )
+
+                bstate, diag = jax.lax.cond(
+                    (idx % div) == 0, do_map, skip, bstate
+                )
+
+            ys = {
+                "t_world": out["t_world"],
+                "t_fused": out["t_fused"],
+                "R_map": bstate.R_map,
+                "t_map": bstate.t_map,
+                "diag": diag,
+            }
+            return (fstate, bstate, idx + 1), ys
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def run(fstate, bstate, idx0, pts, masks, ts):
+            (fstate, bstate, _), ys = jax.lax.scan(
+                step, (fstate, bstate, idx0), (pts, masks, ts)
+            )
+            return fstate, bstate, ys
+
+        return run
+
+    def _prep_many(self, scans):
+        """Stack raw clouds to fixed-shape (C, max_points, 3) + mask."""
+        n = self.cfg.laser.max_points
+        C = len(scans)
+        buf = np.zeros((C, n, 3), np.float32)
+        m = np.zeros((C, n), bool)
+        for c, points in enumerate(scans):
+            k = min(len(points), n)
+            finite = np.isfinite(points[:k]).all(axis=1)
+            buf[c, :k] = np.nan_to_num(points[:k])
+            m[c, :k] = finite
+        return buf, m
+
+    def process_chunk(self, pts, masks, timestamps=None):
+        """Process C scans in one device dispatch.
+
+        pts: (C, max_points, 3) float32, masks: (C, max_points) bool —
+        host or device arrays. Loop closure (host decision) is checked once
+        per chunk, not per frame; pass smaller chunks if tighter loop-closure
+        latency is needed."""
+        cfg = self.cfg
+        if self._chunk_runner is None:
+            self._chunk_runner = self._build_chunk_runner()
+        C = int(pts.shape[0])
+        self._finalized = False
+        f0 = self.frame_idx
+        if timestamps is None:
+            timestamps = (np.arange(f0, f0 + C) * cfg.laser.scan_period).astype(
+                np.float32
+            )
+        self.fstate, self.bstate, ys = self._chunk_runner(
+            self.fstate, self.bstate, jnp.int32(f0),
+            jnp.asarray(pts), jnp.asarray(masks),
+            jnp.asarray(timestamps, jnp.float32),
+        )
+        self._dev_log["odom_t"].append(ys["t_world"])
+        self._dev_log["fused_t"].append(ys["t_fused"])
+        div = cfg.mapping.mapping_frequency_divider
+        frames = np.arange(f0, f0 + C)
+        mapped = (frames % div) == 0
+        if div == 1:
+            mR, mt, diag = ys["R_map"], ys["t_map"], ys["diag"]
+        else:
+            sel = jnp.asarray(np.nonzero(mapped)[0])
+            mR = ys["R_map"][sel]
+            mt = ys["t_map"][sel]
+            diag = jax.tree.map(lambda x: x[sel], ys["diag"])
+        self._dev_log["map_R"].append(mR)
+        self._dev_log["map_t"].append(mt)
+        self._dev_log["diag"].append(diag)
+        self._dev_log["map_time"].extend(
+            float(t) for t in np.asarray(timestamps)[mapped]
+        )
+        self.frame_idx += C
+
+        if cfg.mapping.enable_loop_closure and (
+            self.frame_idx - self._last_loop_check
+            >= cfg.mapping.loop_every_n_frames
+        ):
+            self._last_loop_check = self.frame_idx
+            self._try_loop_closure()
+
+    def run_chunked(self, scans, chunk: int = 16, timestamps=None):
+        """Batch driver over chunks; ragged tail falls back to process_scan."""
+        T = len(scans)
+        s = 0
+        while s + chunk <= T:
+            pts, masks = self._prep_many(scans[s : s + chunk])
+            ts = None if timestamps is None else np.asarray(
+                timestamps[s : s + chunk], np.float32
+            )
+            self.process_chunk(pts, masks, ts)
+            s += chunk
+        for k in range(s, T):
+            self.process_scan(scans[k], None if timestamps is None else timestamps[k])
+        self.finalize()
+        return {
+            "map_positions": np.asarray(self.trajectory["positions"]),
+            "odom_positions": self.odom_positions,
+            "fused_positions": self.fused_positions,
+        }
+
     # -- materialization ----------------------------------------------------
 
     def finalize(self):
@@ -195,19 +349,36 @@ class LegoLoamPipeline:
         if self._finalized:
             return
         log = self._dev_log
-        n_map = len(log["map_t"])
+
+        def cat(entries, base_ndim, empty_shape):
+            """Concat per-frame (base rank) and per-chunk (+1 rank) entries."""
+            if not entries:
+                return jnp.zeros(empty_shape)
+            parts = [
+                e if e.ndim > base_ndim else e[None] for e in entries
+            ]
+            return jnp.concatenate(parts, axis=0)
+
         stacked = {
-            "odom_t": jnp.stack(log["odom_t"]) if log["odom_t"] else jnp.zeros((0, 3)),
-            "fused_t": jnp.stack(log["fused_t"]) if log["fused_t"] else jnp.zeros((0, 3)),
+            "odom_t": cat(log["odom_t"], 1, (0, 3)),
+            "fused_t": cat(log["fused_t"], 1, (0, 3)),
         }
+        map_t = cat(log["map_t"], 1, (0, 3))
+        n_map = map_t.shape[0]
         if n_map:
-            stacked["map_t"] = jnp.stack(log["map_t"])
-            mR = jnp.stack(log["map_R"])
+            stacked["map_t"] = map_t
+            mR = cat(log["map_R"], 2, (0, 3, 3))
             rpys = se3.matrix_to_euler_zyx(mR)
             stacked["map_rpy"] = jnp.stack(rpys, axis=-1)
-            stacked["iters"] = jnp.stack([d.iterations for d in log["diag"]])
-            stacked["min_lambda"] = jnp.stack([d.min_lambda for d in log["diag"]])
-            stacked["cf_mean"] = jnp.stack([d.cf_mean for d in log["diag"]])
+            stacked["iters"] = cat(
+                [d.iterations for d in log["diag"]], 0, (0,)
+            )
+            stacked["min_lambda"] = cat(
+                [d.min_lambda for d in log["diag"]], 0, (0,)
+            )
+            stacked["cf_mean"] = cat(
+                [d.cf_mean for d in log["diag"]], 0, (0,)
+            )
         host = jax.device_get(stacked)
 
         self.odom_positions = host["odom_t"]
@@ -253,12 +424,13 @@ class LegoLoamPipeline:
 
         kf_R = self.bstate.kf_R
         kf_t = self.bstate.kf_t
+        kf_surf = self.bstate.kf_surf_view()
         tgt = jnp.einsum(
-            "kij,knj->kni", kf_R[idx], self.bstate.kf_surf[idx]
+            "kij,knj->kni", kf_R[idx], kf_surf[idx]
         ) + kf_t[idx][:, None, :]
         tgt_mask = self.bstate.kf_surf_mask[idx]
         src = (
-            jnp.einsum("ij,nj->ni", kf_R[cur], self.bstate.kf_surf[cur])
+            jnp.einsum("ij,nj->ni", kf_R[cur], kf_surf[cur])
             + kf_t[cur][None, :]
         )
         res = self._icp(

@@ -58,16 +58,28 @@ def _knn_kernel(q_ref, t_ref, mask_ref, idx_ref, d2_ref, best_d, best_i,
         d2 = qq + tt[None, :] - 2.0 * qt
         d2 = jnp.where(m > 0, jnp.maximum(d2, 0.0), _BIG)
 
-        col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
-        bd = best_d[:]
-        bi = best_i[:]
-        for _j in range(k):
-            mn = jnp.min(d2, axis=1)
-            am = jnp.argmin(d2, axis=1).astype(jnp.int32)
-            bd, bi = _insert_sorted(bd, bi, mn, am + c * t_tile)
-            d2 = jnp.where(col == am[:, None], _BIG, d2)
-        best_d[:] = bd
-        best_i[:] = bi
+        # Tile-level pruning: the k argmin/insertion sweeps (the expensive
+        # part) only run when some query in this tile would improve its
+        # current k-th best. Voxel-DS'd targets arrive spatially sorted, so
+        # once the running top-k tightens, most target tiles are skipped
+        # after just the matmul + one min-reduce.
+        mn0 = jnp.min(d2, axis=1)
+        improves = jnp.any(mn0 < best_d[:, k - 1])
+
+        @pl.when(improves)
+        def _merge():
+            col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+            bd = best_d[:]
+            bi = best_i[:]
+            dd = d2
+            for _j in range(k):
+                mn = jnp.min(dd, axis=1)
+                am = jnp.argmin(dd, axis=1).astype(jnp.int32)
+                bd, bi = _insert_sorted(bd, bi, mn, am + c * t_tile)
+                dd = jnp.where(col == am[:, None], _BIG, dd)
+            best_d[:] = bd
+            best_i[:] = bi
+
         return ()
 
     jax.lax.fori_loop(0, n_tiles, body, ())

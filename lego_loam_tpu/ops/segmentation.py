@@ -69,11 +69,12 @@ def label_components(grid: ScanGrid, cfg: LegoLoamConfig) -> jax.Array:
     big = jnp.int32(H * W)
     label = jnp.where(candidate, idx, big)
 
-    # Segmented min-scan along a row: propagate the running min through
-    # connected runs (break where the left-edge is absent). Gather-free —
-    # pointer jumping chases labels through 28.8k-element gathers, which are
-    # the slowest primitive on this hardware.
-    def row_min_scan(lab, conn_prev, reverse):
+    # Segmented min-scan along an axis: propagate the running min through
+    # connected runs (break where the edge to the previous element in scan
+    # order is absent). Gather-free — pointer jumping chases labels through
+    # 28.8k-element gathers, which are the slowest primitive on this
+    # hardware — and log-depth in the axis length.
+    def seg_min_scan(lab, conn_prev, axis, reverse):
         def combine(a, b):
             # b is the later element in scan order
             fa, va = a
@@ -81,33 +82,42 @@ def label_components(grid: ScanGrid, cfg: LegoLoamConfig) -> jax.Array:
             return fa & fb, jnp.where(fb, jnp.minimum(va, vb), vb)
 
         _, out = jax.lax.associative_scan(
-            combine, (conn_prev, lab), axis=1, reverse=reverse
+            combine, (conn_prev, lab), axis=axis, reverse=reverse
         )
         return out
 
-    def sweep(label, _):
-        # horizontal: full-run propagation both ways
-        m = row_min_scan(label, left, reverse=False)
-        m = jnp.minimum(m, row_min_scan(label, right, reverse=True))
+    def sweep(label):
+        # horizontal: full-run propagation, chained so the reverse pass sees
+        # the forward pass's improvements (full run-min in one pass pair)
+        m = seg_min_scan(label, left, axis=1, reverse=False)
+        m = seg_min_scan(m, right, axis=1, reverse=True)
         # column wrap-around exchange (single boundary fix; the next sweep
         # propagates it through the runs)
         wrapped = jnp.roll(m, 1, axis=1)
         m = jnp.minimum(m, jnp.where(left, wrapped, big))
         wrapped = jnp.roll(m, -1, axis=1)
         m = jnp.minimum(m, jnp.where(right, wrapped, big))
-        # vertical relaxation across all H rows
-        def vstep(lab, _):
-            u = jnp.full_like(lab, big)
-            u = u.at[1:, :].set(jnp.where(up[1:, :], lab[:-1, :], big))
-            d = jnp.full_like(lab, big)
-            d = d.at[:-1, :].set(jnp.where(down[:-1, :], lab[1:, :], big))
-            return jnp.minimum(lab, jnp.minimum(u, d)), None
+        # vertical: same segmented run-min, log2(H) depth (the up edge of
+        # row i is its connection to row i-1, so `up` breaks the downward
+        # scan and `down` the upward one)
+        m = seg_min_scan(m, up, axis=0, reverse=False)
+        m = seg_min_scan(m, down, axis=0, reverse=True)
+        return jnp.where(candidate, m, big)
 
-        m, _ = jax.lax.scan(vstep, m, None, length=H - 1)
-        return jnp.where(candidate, m, big), None
+    # Early-exit fixed point: real scenes converge in a handful of sweeps
+    # (one sweep resolves one "bend" in a component); the iteration cap
+    # bounds pathological spirals.
+    def cond(st):
+        i, _, changed = st
+        return (i < cfg.segmentation.label_prop_iters) & changed
 
-    label, _ = jax.lax.scan(
-        sweep, label, None, length=cfg.segmentation.label_prop_iters
+    def body(st):
+        i, lab, _ = st
+        new = sweep(lab)
+        return i + 1, new, jnp.any(new != lab)
+
+    _, label, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), label, jnp.bool_(True))
     )
 
     # Segment statistics over roots

@@ -27,7 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from .config import LegoLoamConfig
 from .math import se3
@@ -72,7 +72,7 @@ def sharded_pose_graph_solver(mesh: Mesh, cfg: LegoLoamConfig, gn_iters: int = 3
         mesh=mesh,
         in_specs=(P(), P(), fspec, P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def solve(poses_R, poses_t, f: Factors, active_mask):
         N = poses_R.shape[0]
@@ -179,7 +179,7 @@ def sharded_map_gn_step(mesh: Mesh, cfg: LegoLoamConfig):
             P(), P(),
         ),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def step(q_surf, q_mask, map_xyz, map_mask, R, t):
         k = 5

@@ -131,7 +131,10 @@ def main():
     )
     _, _ = timeit(lambda: st2(label, grid), name="  sizes segment_sum only")
 
-    # row span via segment min/max (candidate replacement)
+    # row span via segment min/max — TIMING PROBE ONLY, not semantically
+    # equivalent to production row_counts: feasibleSegment counts DISTINCT
+    # rows (lineCountFlag), span >= distinct count, so adopting span in
+    # label_components would admit segments the reference rejects.
     def span(label, grid):
         rows = jnp.broadcast_to(jnp.arange(H)[:, None], (H, W)).reshape(-1)
         flat = label.reshape(-1)

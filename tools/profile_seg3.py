@@ -1,4 +1,10 @@
-"""Micro-time pieces of the new label_components on the real chip."""
+"""Micro-time pieces of the new label_components on the real chip.
+
+TIMING PROBES ONLY: the fixpoint variants here omit the column wrap-around
+exchange the production sweep applies (segmentation.py) and hardcode the
+iteration cap, so converged labels/timings are representative of op cost,
+not semantically equivalent to label_components.
+"""
 
 import time
 
@@ -142,11 +148,6 @@ def main():
         lambda: sf(candidate, left, right, up, down), name="single fixpoint (label)"
     )
     print("  sweeps:", int(it1))
-
-    # -- 3 independent single fixpoints timed together ------------------------
-    def three_fixpoints(cand, l, r, u, d):
-        _, a = single_fixpoint(cand, l, r, u, d)
-        return a
 
     # -- segment_sum + reshape + broadcast ------------------------------------
     def size_pipeline(label, cand, l, r, u, d):

@@ -48,6 +48,11 @@ class BackendState(struct.PyTreeNode):
     # 1661-1673). Identity for k=0.
     kf_rel_R: jax.Array  # (K, 3, 3)
     kf_rel_t: jax.Array  # (K, 3)
+    # Total keyframes ever appended (NOT clamped to capacity). The store is
+    # a true ring: slot(i) = i % K, so once full the oldest keyframe is
+    # retired per append and the pose graph slides over the last K
+    # keyframes (the reference grows unboundedly, mapOptmization.cpp:
+    # 1612-1755; a fixed window is the honest fixed-shape equivalent).
     n_kf: jax.Array  # () int32
     R_map: jax.Array  # (3,3) latest mapped pose
     t_map: jax.Array  # (3,)
@@ -65,6 +70,24 @@ class BackendState(struct.PyTreeNode):
     def kf_surf_view(self):
         K = self.kf_surf.shape[0]
         return self.kf_surf.reshape(K, -1, 3)
+
+    @property
+    def capacity(self) -> int:
+        return self.kf_t.shape[0]
+
+    def n_active(self):
+        """Keyframes currently resident (<= capacity)."""
+        return jnp.minimum(self.n_kf, self.capacity)
+
+    def ordered_slots(self):
+        """Host helper: resident slots oldest -> newest (numpy int array)."""
+        import numpy as np
+
+        K = self.capacity
+        n = int(self.n_kf)
+        a = min(n, K)
+        start = (n - a) % K if K else 0
+        return (start + np.arange(a)) % K
 
 
 # Per-keyframe cloud capacities (post-voxel-DS).
@@ -142,7 +165,7 @@ def _select_keyframes(state: BackendState, center, cfg: LegoLoamConfig):
     """Nearest K active keyframes within the search radius."""
     m = cfg.mapping
     K = state.kf_t.shape[0]
-    active = jnp.arange(K) < state.n_kf
+    active = jnp.arange(K) < state.n_kf  # all-true once the ring is full
     d = jnp.linalg.norm(state.kf_t - center[None, :], axis=1)
     d = jnp.where(active & (d < m.surrounding_keyframe_search_radius), d, jnp.inf)
     sel = min(m.surrounding_keyframe_search_num, K)
@@ -161,14 +184,29 @@ def backend_step(
     cfg: LegoLoamConfig,
 ):
     """One mapping iteration. Returns (new_state, (R_map, t_map), MapDiag)."""
+    c_xyz, c_m, s_xyz, s_m = downsample_current_scan(
+        features, outlier_xyz, outlier_mask, cfg
+    )
+    return backend_step_ds(
+        state, c_xyz, c_m, s_xyz, s_m, R_odom, t_odom, time, cfg
+    )
+
+
+def backend_step_ds(
+    state: BackendState,
+    c_xyz, c_m,  # downsampled current-scan corners (≙ downsampleCurrentScan)
+    s_xyz, s_m,  # downsampled current-scan surf+outlier cloud
+    R_odom, t_odom,  # current odometry pose (front-end frame)
+    time,  # scan timestamp (scalar)
+    cfg: LegoLoamConfig,
+):
+    """Mapping iteration on a pre-downsampled scan. The scan DS has no
+    dependence on the mapping state, so the pipeline hoists it into the
+    batched per-frame prepass."""
     m = cfg.mapping
 
     R_prior, t_prior = map_prior(
         state.R_map, state.t_map, state.R_odom, state.t_odom, R_odom, t_odom
-    )
-
-    c_xyz, c_m, s_xyz, s_m = downsample_current_scan(
-        features, outlier_xyz, outlier_mask, cfg
     )
 
     # Rebuild the cached submap only when the vehicle moved far enough or
@@ -206,11 +244,13 @@ def backend_step(
         c_xyz, c_m, s_xyz, s_m, R_prior, t_prior, submap, cfg
     )
 
-    # Keyframe gate (mapOptmization.cpp:1612-1630)
-    last_idx = jnp.maximum(state.n_kf - 1, 0)
+    # Keyframe gate (mapOptmization.cpp:1612-1630). Ring semantics: slot
+    # n_kf % K, overwriting the oldest keyframe once the store is full.
+    K = state.kf_t.shape[0]
+    last_idx = jnp.where(state.n_kf > 0, (state.n_kf - 1) % K, 0)
     moved = jnp.linalg.norm(state.kf_t[last_idx] - t_new) > m.keyframe_gate_distance
     is_kf = (state.n_kf == 0) | moved | bool(m.keyframe_gate_always)
-    slot = jnp.minimum(state.n_kf, state.kf_t.shape[0] - 1)
+    slot = state.n_kf % K
 
     def append(s: BackendState) -> BackendState:
         rel_R, rel_t = se3.relative(s.kf_R[last_idx], s.kf_t[last_idx], R_new, t_new)
@@ -229,7 +269,7 @@ def backend_step(
             kf_corner_mask=s.kf_corner_mask.at[slot].set(c_m[:KF_CORNER_CAP]),
             kf_surf=s.kf_surf.at[slot].set(s_xyz[:KF_SURF_CAP].reshape(-1)),
             kf_surf_mask=s.kf_surf_mask.at[slot].set(s_m[:KF_SURF_CAP]),
-            n_kf=jnp.minimum(s.n_kf + 1, s.kf_t.shape[0]),
+            n_kf=s.n_kf + 1,
         )
 
     state = jax.lax.cond(is_kf, append, lambda s: s, state)

@@ -61,10 +61,14 @@ class SegmentationConfig:
     segment_theta: float = 60.0 * DEG
     # Segments at least this large are always kept (imageProjection.cpp:913)
     segment_large_point_num: int = 30
-    # Label-propagation sweeps for the connected-components fixed point.
-    # Pointer-jumping doubles reach each sweep; 24 covers a 16x1800 grid
-    # (diameter <= 16*1800 but log2-compressed by path halving).
-    label_prop_iters: int = 24
+    # Cap on label-propagation iterations (run-min sweep + root hooking per
+    # iteration) for the connected-components fixed point. Hooking merges
+    # whole runs through a root table each iteration, so convergence is
+    # ~3-4 iterations (oracle-verified; early exit); 10 bounds pathology.
+    label_prop_iters: int = 10
+    # Connected-components backend: 'auto' = Pallas VMEM-resident fixpoint
+    # kernel on TPU (ops/pallas_cc.py), XLA sweep+hook elsewhere.
+    cc_backend: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

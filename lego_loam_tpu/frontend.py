@@ -74,20 +74,17 @@ def stage1(points, mask, cfg: LegoLoamConfig, key=None):
     return segment_cloud(grid, cfg)
 
 
-def frontend_step(
-    points, mask, state: OdometryState, cfg: LegoLoamConfig, key=None,
-    odom_prior=None, imu_track=None,
+def frontend_prepass(
+    points, mask, cfg: LegoLoamConfig, key=None, imu_track=None,
 ):
-    """Full per-scan front end (≙ runFeatureAssociation,
-    featureAssociation.cpp:2742-2853). Returns (new_state, outputs).
+    """Per-frame-independent front-end work: projection, ground removal,
+    segmentation, feature extraction (≙ the ImageProjection node plus the
+    feature half of runFeatureAssociation). No dependence on any previous
+    scan's state, so the pipeline vmaps it across a chunk of scans — tiny
+    (16, 1800) grid ops amortize their fixed per-op cost over the batch.
 
-    odom_prior: optional (R, t) inter-frame motion from wheel odometry
-    (imu.odom_prior_motion). Its use follows cfg.odometry.odom_prior_mode:
-    'init' seeds the solver (upstream-intended behaviour), 'override'
-    replaces the solved motion (the reference's as-committed ablation,
-    featureAssociation.cpp:2789-2790), 'off' ignores it.
     imu_track: optional imu.ImuTrack for scan undistortion
-    (cfg.pipeline.use_imu_undistortion)."""
+    (cfg.pipeline.use_imu_undistortion). Returns (grid, seg, feats)."""
     grid, seg = stage1(points, mask, cfg, key)
     if imu_track is not None and cfg.pipeline.use_imu_undistortion:
         # Undistort after projection (the reference also projects the raw
@@ -107,7 +104,6 @@ def frontend_step(
         # the constant-twist warp, matching use_imu_undistortion=false runs
         # where the reference still warps mid-scan points by the motion
         # estimate but our synthetic/offline clouds are rigid per frame.
-        feats = jax.tree.map(lambda x: x, feats)
         feats = ScanFeatures(
             corner_sharp=feats.corner_sharp.replace(
                 rel_time=jnp.ones_like(feats.corner_sharp.rel_time)
@@ -122,9 +118,17 @@ def frontend_step(
                 rel_time=jnp.ones_like(feats.surf_less_flat.rel_time)
             ),
         )
+    return grid, seg, feats
 
-    # Seed with constant velocity (last inter-frame motion), or the wheel
-    # odometry prior in 'init' mode.
+
+def frontend_solve(
+    feats: ScanFeatures, state: OdometryState, cfg: LegoLoamConfig,
+    odom_prior=None,
+):
+    """Sequential front-end half: two-step scan-to-scan GN, world-pose
+    integration, and the scan-end buffer swap (≙ updateTransformation /
+    integrateTransformation / publishCloudsLast). Depends on the previous
+    scan's state, so the pipeline runs it inside the lax.scan."""
     mode = cfg.odometry.odom_prior_mode
     if odom_prior is not None and mode == "init":
         M_R0, M_t0 = odom_prior
@@ -165,8 +169,6 @@ def frontend_step(
         initialized=jnp.bool_(True),
     )
     outputs = {
-        "grid": grid,
-        "segmented": seg,
         "features": feats,
         "M_R": M_R,
         "M_t": M_t,
@@ -174,6 +176,26 @@ def frontend_step(
         "t_world": t_world,
     }
     return new_state, outputs
+
+
+def frontend_step(
+    points, mask, state: OdometryState, cfg: LegoLoamConfig, key=None,
+    odom_prior=None, imu_track=None,
+):
+    """Full per-scan front end (≙ runFeatureAssociation,
+    featureAssociation.cpp:2742-2853) = prepass ∘ solve.
+    Returns (new_state, outputs).
+
+    odom_prior: optional (R, t) inter-frame motion from wheel odometry
+    (imu.odom_prior_motion). Its use follows cfg.odometry.odom_prior_mode:
+    'init' seeds the solver (upstream-intended behaviour), 'override'
+    replaces the solved motion (the reference's as-committed ablation,
+    featureAssociation.cpp:2789-2790), 'off' ignores it."""
+    grid, seg, feats = frontend_prepass(points, mask, cfg, key, imu_track)
+    new_state, out = frontend_solve(feats, state, cfg, odom_prior)
+    out["grid"] = grid
+    out["segmented"] = seg
+    return new_state, out
 
 
 def make_frontend(cfg: LegoLoamConfig):

@@ -32,18 +32,20 @@ def gather_keyframe_clouds(bstate, max_kf=None):
     """Pull keyframe clouds+poses to host, transformed to map frame.
 
     Returns dict with 'corner', 'surf' (N,3) arrays and poses."""
-    n = int(bstate.n_kf)
+    slots = bstate.ordered_slots()  # resident keyframes, oldest -> newest
     if max_kf:
-        n = min(n, max_kf)
+        slots = slots[-max_kf:]
+    n = len(slots)
+    sel = np.asarray(slots)
     host = jax.device_get(
         {
-            "R": bstate.kf_R[:n],
-            "t": bstate.kf_t[:n],
-            "c": bstate.kf_corner_view()[:n],
-            "cm": bstate.kf_corner_mask[:n],
-            "s": bstate.kf_surf_view()[:n],
-            "sm": bstate.kf_surf_mask[:n],
-            "time": bstate.kf_time[:n],
+            "R": bstate.kf_R[sel],
+            "t": bstate.kf_t[sel],
+            "c": bstate.kf_corner_view()[sel],
+            "cm": bstate.kf_corner_mask[sel],
+            "s": bstate.kf_surf_view()[sel],
+            "sm": bstate.kf_surf_mask[sel],
+            "time": bstate.kf_time[sel],
         }
     )
     corners = []

@@ -58,12 +58,25 @@ def _connectivity(grid: ScanGrid, candidate, cfg: LegoLoamConfig):
     return left, right, up, down
 
 
-def label_components(grid: ScanGrid, cfg: LegoLoamConfig) -> jax.Array:
-    """Returns (H, W) int32: INVALID for non-candidates, OUTLIER for points in
-    infeasible segments, else 1-based component root id."""
+def converged_labels(grid: ScanGrid, cfg: LegoLoamConfig):
+    """Connected-component root ids before the feasibility collapse.
+
+    Returns ((H, W) int32 root pixel index — H*W for non-candidates — and
+    the candidate mask). Exposed separately so oracle-parity tests can
+    compare raw partitions against the reference BFS."""
     H, W = grid.range.shape
     candidate = grid.valid & (grid.ground != 1)  # ≙ _label_mat == 0 cells
     left, right, up, down = _connectivity(grid, candidate, cfg)
+
+    use_pallas = cfg.segmentation.cc_backend == "pallas" or (
+        cfg.segmentation.cc_backend == "auto"
+        and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from .pallas_cc import pallas_label_prop
+
+        label = pallas_label_prop(left, right, up, down, candidate)
+        return label, candidate
 
     idx = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
     big = jnp.int32(H * W)
@@ -104,30 +117,67 @@ def label_components(grid: ScanGrid, cfg: LegoLoamConfig) -> jax.Array:
         m = seg_min_scan(m, down, axis=0, reverse=True)
         return jnp.where(candidate, m, big)
 
-    # Early-exit fixed point: real scenes converge in a handful of sweeps
-    # (one sweep resolves one "bend" in a component); the iteration cap
-    # bounds pathological spirals.
+    def hook_and_jump(L):
+        # Shiloach-Vishkin-style hooking: the run-min sweep alone needs
+        # O(#bends) iterations (47 measured on one scene) because a pixel's
+        # label points at a self-rooted local min — plain pointer jumping is
+        # a no-op. Hooking scatters the smallest *neighbor* label to each
+        # root through a root table, then compresses the root chains; with
+        # it the fixpoint lands in ~3 iterations (measured, oracle-verified).
+        HW = H * W
+        nmin = jnp.where(left, jnp.roll(L, 1, axis=1), big)
+        nmin = jnp.minimum(nmin, jnp.where(right, jnp.roll(L, -1, axis=1), big))
+        pad = jnp.full((1, W), HW, jnp.int32)
+        nmin = jnp.minimum(
+            nmin, jnp.where(up, jnp.concatenate([pad, L[:-1]], 0), big)
+        )
+        nmin = jnp.minimum(
+            nmin, jnp.where(down, jnp.concatenate([L[1:], pad], 0), big)
+        )
+        flat = L.reshape(-1)
+        table = jnp.full((HW + 1,), HW, jnp.int32).at[flat].min(nmin.reshape(-1))
+        table = jnp.minimum(table, jnp.arange(HW + 1, dtype=jnp.int32))
+        for _ in range(3):  # compress root chains (short after hooking)
+            table = jnp.minimum(table, table[table])
+        return jnp.where(candidate, table[flat].reshape(H, W), big)
+
+    # Early-exit fixed point: run-min sweeps + root hooking.
     def cond(st):
         i, _, changed = st
         return (i < cfg.segmentation.label_prop_iters) & changed
 
     def body(st):
         i, lab, _ = st
-        new = sweep(lab)
+        new = hook_and_jump(sweep(lab))
         return i + 1, new, jnp.any(new != lab)
 
     _, label, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), label, jnp.bool_(True))
     )
+    return label, candidate
+
+
+def label_components(grid: ScanGrid, cfg: LegoLoamConfig) -> jax.Array:
+    """Returns (H, W) int32: INVALID for non-candidates, OUTLIER for points in
+    infeasible segments, else 1-based component root id."""
+    H, W = grid.range.shape
+    label, candidate = converged_labels(grid, cfg)
+    big = jnp.int32(H * W)
 
     # Segment statistics over roots
     flat = label.reshape(-1)
     ones = candidate.reshape(-1).astype(jnp.int32)
     sizes = jax.ops.segment_sum(ones, flat, num_segments=H * W + 1)
     # distinct-row count per root: one mark per (row, label) first occurrence
-    # (per-row sort; avoids a (H*W, H) presence table)
-    order = jnp.argsort(label, axis=1)
-    lab_sorted = jnp.take_along_axis(label, order, axis=1)
+    # (per-row sort; avoids a (H*W, H) presence table). The root pixel is
+    # excluded: the reference's lineCountFlag is set only for *pushed
+    # neighbors* (imageProjection.cpp:904), so the BFS seed — row-major
+    # minimum of the component, i.e. exactly our root — marks its row only
+    # if another component pixel shares it. Oracle-verified exact.
+    idx2d = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
+    label_nonroot = jnp.where(label == idx2d, big, label)
+    order = jnp.argsort(label_nonroot, axis=1)
+    lab_sorted = jnp.take_along_axis(label_nonroot, order, axis=1)
     first = jnp.concatenate(
         [jnp.ones((H, 1), bool), lab_sorted[:, 1:] != lab_sorted[:, :-1]], axis=1
     )

@@ -199,14 +199,19 @@ class LegoLoamPipeline:
         """jit(lax.scan) over a chunk of scans: C frames per host dispatch.
 
         On a relay-attached TPU the per-frame host dispatch + scalar uploads
-        cost far more than the device programs themselves (~70 ms vs ~12 ms);
-        scanning a chunk on device removes all of it. The keyframe store
-        rides the scan carry — kept copy-friendly by the flat cloud layout
-        (see BackendState) — and buffer donation keeps it in place between
-        chunks."""
+        cost far more than the device programs themselves; scanning a chunk
+        on device removes all of it. (A vmapped batched prepass across the
+        chunk was tried and measured SLOWER per frame than the per-frame
+        path — 16.3 vs 12.3 ms/frame on the v5e — batched sorts/scatters
+        lower worse than their per-frame forms, so everything stays inside
+        the scan.) The keyframe store rides the scan carry — kept
+        copy-friendly by the flat cloud layout (see BackendState) — and
+        buffer donation keeps it in place between chunks."""
         from functools import partial
 
-        from .frontend import frontend_step_fused
+        from .backend import backend_step_ds, downsample_current_scan
+        from .frontend import frontend_prepass, frontend_solve
+        from .fusion import fuse_pose
         from .mapping import MapDiag
 
         cfg = self.cfg
@@ -215,16 +220,24 @@ class LegoLoamPipeline:
         def step(carry, inp):
             fstate, bstate, idx = carry
             pts, mask, t_scan = inp
-            fstate, out = frontend_step_fused(
-                pts, mask, fstate, idx, bstate.R_map, bstate.t_map,
-                bstate.R_odom, bstate.t_odom, cfg,
+            key = jax.random.fold_in(jax.random.PRNGKey(0), idx)
+            _grid, seg, feats = frontend_prepass(pts, mask, cfg, key)
+            ds = downsample_current_scan(
+                feats, seg.outlier_xyz, seg.outlier_mask, cfg
+            )
+            fstate, out = frontend_solve(feats, fstate, cfg)
+
+            # TransformFusion output at odometry rate, using the latest
+            # *available* map pose — one frame stale, the same asynchronous
+            # semantics as the reference node.
+            Rf, tf = fuse_pose(
+                bstate.R_map, bstate.t_map, bstate.R_odom, bstate.t_odom,
+                out["R_world"], out["t_world"],
             )
 
             def do_map(bs):
-                bs, _pose, diag = backend_step(
-                    bs, out["features"], out["segmented"].outlier_xyz,
-                    out["segmented"].outlier_mask,
-                    out["R_world"], out["t_world"], t_scan, cfg,
+                bs, _pose, diag = backend_step_ds(
+                    bs, *ds, out["R_world"], out["t_world"], t_scan, cfg
                 )
                 return bs, diag
 
@@ -244,7 +257,7 @@ class LegoLoamPipeline:
 
             ys = {
                 "t_world": out["t_world"],
-                "t_fused": out["t_fused"],
+                "t_fused": tf,
                 "R_map": bstate.R_map,
                 "t_map": bstate.t_map,
                 "diag": diag,
@@ -404,23 +417,30 @@ class LegoLoamPipeline:
     # -- loop closure -------------------------------------------------------
 
     def _try_loop_closure(self):
-        """≙ performLoopClosure (mapOptmization.cpp:983-1094) + correctPoses."""
+        """≙ performLoopClosure (mapOptmization.cpp:983-1094) + correctPoses.
+
+        All indices below are *logical* keyframe ids (monotone append order);
+        the device ring store is addressed through ordered_slots()."""
         cfg = self.cfg
         n_kf = int(self.bstate.n_kf)
-        if n_kf < 3:
+        slots = self.bstate.ordered_slots()  # oldest -> newest
+        A = len(slots)
+        if A < 3:
             return
-        positions = jax.device_get(self.bstate.kf_t)[:n_kf]
-        times = jax.device_get(self.bstate.kf_time)[:n_kf]
-        cur = n_kf - 1
-        cand = detect_loop_candidate(positions, times, n_kf, cur, cfg)
+        positions = jax.device_get(self.bstate.kf_t)[slots]
+        times = jax.device_get(self.bstate.kf_time)[slots]
+        cur = A - 1
+        cand = detect_loop_candidate(positions, times, A, cur, cfg)
         if cand < 0:
             return
 
         # history submap: ±history_keyframe_search_num/2 keyframes around cand
         h = cfg.mapping.history_keyframe_search_num // 2
         lo = max(0, cand - h)
-        hi = min(n_kf, cand + h + 1)
-        idx = jnp.arange(lo, hi)
+        hi = min(A, cand + h + 1)
+        idx = jnp.asarray(slots[lo:hi])
+        cur_slot = int(slots[cur])
+        cand_slot = int(slots[cand])
 
         kf_R = self.bstate.kf_R
         kf_t = self.bstate.kf_t
@@ -430,12 +450,12 @@ class LegoLoamPipeline:
         ) + kf_t[idx][:, None, :]
         tgt_mask = self.bstate.kf_surf_mask[idx]
         src = (
-            jnp.einsum("ij,nj->ni", kf_R[cur], kf_surf[cur])
-            + kf_t[cur][None, :]
+            jnp.einsum("ij,nj->ni", kf_R[cur_slot], kf_surf[cur_slot])
+            + kf_t[cur_slot][None, :]
         )
         res = self._icp(
             src,
-            self.bstate.kf_surf_mask[cur],
+            self.bstate.kf_surf_mask[cur_slot],
             tgt.reshape(-1, 3),
             tgt_mask.reshape(-1),
             jnp.eye(3),
@@ -445,37 +465,57 @@ class LegoLoamPipeline:
         if float(res.fitness) > cfg.mapping.history_keyframe_fitness_score:
             return
 
-        cur_R, cur_t = jax.device_get((kf_R[cur], kf_t[cur]))
-        cand_R, cand_t = jax.device_get((kf_R[cand], kf_t[cand]))
+        cur_R, cur_t = jax.device_get((kf_R[cur_slot], kf_t[cur_slot]))
+        cand_R, cand_t = jax.device_get((kf_R[cand_slot], kf_t[cand_slot]))
         Rc = np.asarray(res.R) @ cur_R
         tc = np.asarray(res.R) @ cur_t + np.asarray(res.t)
         R_rel = cand_R.T @ Rc
         t_rel = cand_R.T @ (tc - cand_t)
+        # store ABSOLUTE keyframe ids so the factor survives ring motion
+        base = n_kf - A
         self.loop_factors.append(
-            LoopFactor(i=cand, j=cur, R=R_rel, t=t_rel, fitness=float(res.fitness))
+            LoopFactor(
+                i=base + cand, j=base + cur, R=R_rel, t=t_rel,
+                fitness=float(res.fitness),
+            )
         )
         self._optimize_graph()
 
     def _optimize_graph(self):
-        """Relinearized whole-graph GN (≙ ISAM2 update + correctPoses)."""
+        """Relinearized whole-graph GN (≙ ISAM2 update + correctPoses).
+
+        Factor indices address ring SLOTS; the odometry chain is built in
+        logical (append) order via ordered_slots(), and loop factors whose
+        keyframes have been retired from the ring are dropped."""
         n_kf = int(self.bstate.n_kf)
         K = self.bstate.kf_t.shape[0]
+        slots = self.bstate.ordered_slots()
+        A = len(slots)
+        base = n_kf - A  # absolute id of the oldest resident keyframe
 
-        # chain factors from recorded odometry increments (device arrays)
-        ci = np.arange(K - 1, dtype=np.int32)
-        cj = ci + 1
-        cmask = cj < n_kf
+        # chain factors from recorded odometry increments: logical pair
+        # (l-1, l) measured by kf_rel at the younger keyframe's slot
+        ci = np.zeros((K - 1,), np.int32)
+        cj = np.zeros((K - 1,), np.int32)
+        cmask = np.zeros((K - 1,), bool)
+        if A >= 2:
+            ci[: A - 1] = slots[:-1]
+            cj[: A - 1] = slots[1:]
+            cmask[: A - 1] = True
+        rel_R = self.bstate.kf_rel_R[jnp.asarray(cj)]
+        rel_t = self.bstate.kf_rel_t[jnp.asarray(cj)]
 
-        nl = len(self.loop_factors)
-        li = np.array([f.i for f in self.loop_factors], np.int32)
-        lj = np.array([f.j for f in self.loop_factors], np.int32)
+        live = [f for f in self.loop_factors if f.i >= base and f.j >= base]
+        nl = len(live)
+        li = np.array([slots[f.i - base] for f in live], np.int32)
+        lj = np.array([slots[f.j - base] for f in live], np.int32)
         lR = (
-            np.stack([f.R for f in self.loop_factors]).astype(np.float32)
+            np.stack([f.R for f in live]).astype(np.float32)
             if nl
             else np.zeros((0, 3, 3), np.float32)
         )
         lt = (
-            np.stack([f.t for f in self.loop_factors]).astype(np.float32)
+            np.stack([f.t for f in live]).astype(np.float32)
             if nl
             else np.zeros((0, 3), np.float32)
         )
@@ -486,7 +526,7 @@ class LegoLoamPipeline:
             np.stack(
                 [
                     np.full((6,), 1.0 / max(f.fitness, 1e-3), np.float32)
-                    for f in self.loop_factors
+                    for f in live
                 ]
             )
             if nl
@@ -496,8 +536,8 @@ class LegoLoamPipeline:
         factors = Factors(
             i=jnp.concatenate([jnp.asarray(ci), jnp.asarray(li)]),
             j=jnp.concatenate([jnp.asarray(cj), jnp.asarray(lj)]),
-            R=jnp.concatenate([self.bstate.kf_rel_R[1:], jnp.asarray(lR)]),
-            t=jnp.concatenate([self.bstate.kf_rel_t[1:], jnp.asarray(lt)]),
+            R=jnp.concatenate([rel_R, jnp.asarray(lR)]),
+            t=jnp.concatenate([rel_t, jnp.asarray(lt)]),
             info=jnp.asarray(np.concatenate([chain_info, loop_info])),
             mask=jnp.concatenate(
                 [jnp.asarray(cmask), jnp.ones((nl,), bool)]
@@ -535,11 +575,12 @@ class LegoLoamPipeline:
             newR, newt = self._solve_graph(
                 self.bstate.kf_R, self.bstate.kf_t, factors, active
             )
+        newest = int(slots[-1])
         self.bstate = self.bstate.replace(
             kf_R=newR,
             kf_t=newt,
-            R_map=newR[n_kf - 1],
-            t_map=newt[n_kf - 1],
+            R_map=newR[newest],
+            t_map=newt[newest],
             # corrected keyframe poses invalidate the cached submap
             submap_center=jnp.full((3,), 1e9),
             submap_n_kf=jnp.int32(-1),

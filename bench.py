@@ -28,8 +28,14 @@ REFERENCE_SCANS_PER_SEC = 1000.0 / 50.16
 def main():
     import jax
 
+    # Persistent XLA compilation cache: recompiles on the relay-attached TPU
+    # cost minutes; the disk cache cuts warm process startup to seconds.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     from lego_loam_tpu.config import vlp16
-    from lego_loam_tpu.io.synthetic import render_scan, straight_trajectory
+    from lego_loam_tpu.io.synthetic import straight_trajectory, swept_scan_sequence
     from lego_loam_tpu.pipeline import LegoLoamPipeline
 
     cfg = vlp16()
@@ -38,11 +44,10 @@ def main():
     n_meas_chunks = int(os.environ.get("BENCH_CHUNKS", "6"))
     n = (n_warm_chunks + n_meas_chunks) * chunk
 
+    # Motion-distorted sweeps (each scan rendered while the sensor moves),
+    # so the production rel_time warp path is what gets measured.
     poses = straight_trajectory(n, speed=0.15, yaw_rate=np.deg2rad(1.0))
-    scans = [
-        render_scan(R, t, cfg, noise=0.01, seed=11 + i)
-        for i, (R, t) in enumerate(poses)
-    ]
+    scans = list(swept_scan_sequence(poses, cfg, noise=0.01, seed=11))
 
     pipe = LegoLoamPipeline(cfg)
 

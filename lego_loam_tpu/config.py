@@ -129,7 +129,10 @@ class FeatureConfig:
     # matrix — real VLP-16 scans produce a few hundred edge picks.
     max_corner_sharp: int = 512
     max_corner_less_sharp: int = 1024
-    max_surf_flat: int = 4096
+    # Flats = ground NMS picks + the 160 shadow points; a VLP-16 scan yields
+    # a few hundred (measured ~470 on the synthetic world; the every-5th-
+    # column ground keep bounds it at ~2.3k worst case).
+    max_surf_flat: int = 2048
     max_surf_less_flat: int = 8192
 
 
@@ -138,6 +141,10 @@ class OdometryConfig:
     """Two-step scan-to-scan solver (featureAssociation.cpp:1846-2535)."""
 
     max_iterations: int = 12
+    # Refresh cadence: denser than the reference's iterCount%5 re-search
+    # (featureAssociation.cpp:1588, :1722) because full-GN steps converge in
+    # fewer iterations; 5 was tried and measured SLOWER end-to-end (45 vs 75
+    # scans/s) — later refreshes make the early-exit fire later.
     search_every: int = 3
     # Convergence: deltaR < 0.1 deg, deltaT < 0.1 cm (featureAssociation.cpp:2006)
     rot_converge_deg: float = 0.1
@@ -222,8 +229,12 @@ class MappingConfig:
     # Fixed capacities
     max_corner_scan: int = 1024
     max_surf_scan: int = 4096
-    max_submap_corner: int = 16384
-    max_submap_surf: int = 65536
+    # Assembled-submap caps size the mapping 5-NN search (cost is linear in
+    # the cap). 50 keyframes x 0.4 m leaf measured ~16k occupied surf voxels
+    # on a synthetic drive; 32k/8k keep 2x headroom. Dense campus scenes
+    # may need more — overflow drops the spatially-last voxels.
+    max_submap_corner: int = 8192
+    max_submap_surf: int = 32768
     max_keyframes: int = 20480
     # Loop-closure ICP (mapOptmization.cpp:983-1094)
     icp_max_iterations: int = 100
@@ -275,6 +286,16 @@ class DistributedConfig:
 @dataclasses.dataclass(frozen=True)
 class PipelineConfig:
     use_imu_undistortion: bool = False
+    # Treat input clouds as rigid snapshots (all points captured at scan
+    # end): disables the constant-twist rel_time warp in the odometry
+    # residuals. The reference ALWAYS warps mid-scan points by the motion
+    # estimate (TransformToStart, featureAssociation.cpp:1389-1412), so the
+    # default is False; set True only for synthetic rigid-rendered clouds.
+    rigid_scans: bool = False
+    # Fixed per-scan IMU sample window (pad-and-mask; ≙ the reference's
+    # 200-slot ring buffer, featureAssociation.h imuQue*). 64 covers a
+    # 400 Hz IMU over one 0.1 s sweep with margin.
+    imu_window: int = 64
     odom_frequency: float = 10.0
     # Grid-local voxel packing radius for device DS (meters)
     local_voxel_radius: float = 102.4

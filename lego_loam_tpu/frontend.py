@@ -89,21 +89,26 @@ def frontend_prepass(
     if imu_track is not None and cfg.pipeline.use_imu_undistortion:
         # Undistort after projection (the reference also projects the raw
         # cloud first and warps inside FeatureAssociation, adjustDistortion).
-        from .imu import undistort_to_start
+        # One hop to the scan-END frame; rel_time becomes 1 so the motion
+        # warp does not double-compensate (the reference undistorts to
+        # start and re-projects to end later, TransformToEnd — equivalent).
+        from .imu import undistort_to
 
-        seg_xyz = undistort_to_start(
-            seg.xyz, seg.rel_time, imu_track, cfg.laser.scan_period
+        seg_xyz = undistort_to(
+            seg.xyz, seg.rel_time, imu_track, cfg.laser.scan_period,
+            ref_time=1.0,
         )
         seg = seg.replace(
-            xyz=jnp.where(seg.valid[..., None], seg_xyz, seg.xyz)
+            xyz=jnp.where(seg.valid[..., None], seg_xyz, seg.xyz),
+            rel_time=jnp.where(seg.valid, 1.0, seg.rel_time),
         )
     feats = extract_features(seg, cfg)
 
-    if not cfg.pipeline.use_imu_undistortion:
-        # Raw clouds are treated as rigid (all points at scan end): disables
-        # the constant-twist warp, matching use_imu_undistortion=false runs
-        # where the reference still warps mid-scan points by the motion
-        # estimate but our synthetic/offline clouds are rigid per frame.
+    if cfg.pipeline.rigid_scans:
+        # Synthetic rigid-rendered clouds: all points captured at scan end,
+        # so the constant-twist warp would inject model error. The reference
+        # always warps (TransformToStart, featureAssociation.cpp:1389-1412)
+        # — that is the default path (rigid_scans=False).
         feats = ScanFeatures(
             corner_sharp=feats.corner_sharp.replace(
                 rel_time=jnp.ones_like(feats.corner_sharp.rel_time)
@@ -211,11 +216,44 @@ def make_frontend(cfg: LegoLoamConfig):
 def frontend_step_fused(
     points, mask, state: OdometryState, frame_idx, R_map, t_map,
     R_odom_at_map, t_odom_at_map, cfg: LegoLoamConfig,
+    imu=None, odom=None,
 ):
     """frontend_step + per-frame RNG derivation + TransformFusion output in
-    one program (zero eager host-side device ops per frame)."""
+    one program (zero eager host-side device ops per frame).
+
+    imu: optional dict {"t": (S,), "rpy": (S,3), "acc": (S,3),
+    "mask": (S,)} of raw IMU samples over this scan's period (times relative
+    to scan start) — integrated on device and used for undistortion when
+    cfg.pipeline.use_imu_undistortion (≙ imuHandler + adjustDistortion,
+    featureAssociation.cpp:315-789).
+    odom: optional dict {"R_prev", "t_prev", "R_cur", "t_cur"} wheel-odometry
+    poses at the previous/current scan — turned into the inter-frame motion
+    prior per cfg.odometry.odom_prior_mode (≙ updateInitialGuess,
+    featureAssociation.cpp:2337-2503)."""
     key = jax.random.fold_in(jax.random.PRNGKey(0), frame_idx)
-    new_state, out = frontend_step(points, mask, state, cfg, key)
+
+    imu_track = None
+    if imu is not None and cfg.pipeline.use_imu_undistortion:
+        from .imu import integrate_imu
+
+        imu_track = integrate_imu(
+            imu["t"], imu["rpy"], imu["acc"], mask=imu["mask"]
+        )
+
+    odom_prior = None
+    if odom is not None and cfg.odometry.odom_prior_mode != "off":
+        from .imu import odom_prior_motion
+
+        odom_prior = odom_prior_motion(
+            state.R_world, state.t_world,
+            odom["R_prev"], odom["t_prev"], odom["R_cur"], odom["t_cur"],
+            cfg.odometry.odom_lever_arm,
+        )
+
+    new_state, out = frontend_step(
+        points, mask, state, cfg, key,
+        odom_prior=odom_prior, imu_track=imu_track,
+    )
     from .fusion import fuse_pose
 
     Rf, tf = fuse_pose(

@@ -89,14 +89,26 @@ def undistort_to_start(xyz, rel_time, track: ImuTrack, scan_period: float):
 
     p_start = R0^T (R_s p + shift_s - shift_0)   (≙ adjustDistortion's
     rotate-to-start + shift compensation, featureAssociation.cpp:606-700)."""
+    return undistort_to(xyz, rel_time, track, scan_period, ref_time=0.0)
+
+
+def undistort_to(xyz, rel_time, track: ImuTrack, scan_period: float,
+                 ref_time: float = 1.0):
+    """Re-express points captured at rel_time into the sensor frame at
+    relative time ref_time (1.0 = scan end — the convention the rest of the
+    pipeline uses for a settled cloud: after this, rel_time is 1 and no
+    further motion warping applies). The reference undistorts to scan start
+    and later re-projects everything to scan end (TransformToEnd,
+    featureAssociation.cpp:1414-1490); doing it in one hop is equivalent."""
     shape = xyz.shape[:-1]
     flat = xyz.reshape(-1, 3)
     tq = (rel_time.reshape(-1)) * scan_period
     Rq, shiftq = _interp_track(track, tq)
-    R0, shift0 = _interp_track(track, jnp.zeros_like(tq[:1]))
+    tr = jnp.full_like(tq[:1], ref_time * scan_period)
+    Rr, shiftr = _interp_track(track, tr)
     p_world = jnp.einsum("qij,qj->qi", Rq, flat) + shiftq
-    p_start = jnp.einsum("ji,qj->qi", R0[0], p_world - shift0[0])
-    return p_start.reshape(*shape, 3)
+    p_ref = jnp.einsum("ji,qj->qi", Rr[0], p_world - shiftr[0])
+    return p_ref.reshape(*shape, 3)
 
 
 def odom_prior_motion(

@@ -65,8 +65,13 @@ def beam_directions(cfg: LegoLoamConfig) -> np.ndarray:
 
 
 def _ray_world(origin, dirs, world: World) -> np.ndarray:
-    """Min positive hit distance per ray. origin (3,), dirs (...,3)."""
-    o = origin.reshape((1,) * (dirs.ndim - 1) + (3,))
+    """Min positive hit distance per ray. origin (3,) or broadcastable
+    (..., 3) per-ray origins, dirs (...,3)."""
+    origin = np.asarray(origin, np.float64)
+    if origin.ndim == 1:
+        o = origin.reshape((1,) * (dirs.ndim - 1) + (3,))
+    else:
+        o = np.broadcast_to(origin, dirs.shape)
     t_best = np.full(dirs.shape[:-1], world.max_range, np.float64)
 
     def consider(t, valid):
@@ -146,6 +151,84 @@ def render_scan(
     return pts.reshape(-1, 3).astype(np.float32)
 
 
+def _log_so3_np(R):
+    tr = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    th = np.arccos(tr)
+    if th < 1e-9:
+        return np.zeros(3)
+    w = (
+        np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+        / (2.0 * np.sin(th))
+    )
+    return w * th
+
+
+def _exp_so3_np(w):
+    th = np.linalg.norm(w)
+    if th < 1e-12:
+        return np.eye(3)
+    k = w / th
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+
+
+def render_scan_swept(
+    pose0,
+    pose1,
+    cfg: LegoLoamConfig,
+    world: Optional[World] = None,
+    noise: float = 0.0,
+    seed: int = 0,
+    sensor_height: float = 0.6,
+) -> np.ndarray:
+    """Render one scan while the sensor MOVES from pose0 to pose1 over the
+    sweep — simulating real spinning-lidar motion distortion. Column k is
+    captured at relative time s = k/W (matching projection.py's rel_time
+    convention) from the interpolated pose; each point is returned in the
+    sensor frame AT ITS CAPTURE TIME, exactly like a real driver packet.
+    """
+    world = world or World()
+    R0, t0 = pose0
+    R1, t1 = pose1
+    dirs_s = beam_directions(cfg).astype(np.float64)  # (H, W, 3)
+    H, W, _ = dirs_s.shape
+    s = np.arange(W, dtype=np.float64) / float(W)
+
+    dw = _log_so3_np(R0.T @ R1)
+    R_cols = np.stack([R0 @ _exp_so3_np(si * dw) for si in s])  # (W,3,3)
+    t_cols = t0[None, :] * (1 - s[:, None]) + t1[None, :] * s[:, None]
+
+    # world-frame directions per column: dirs_w[h,k] = R_cols[k] @ dirs_s[h,k]
+    dirs_w = np.einsum("kij,hkj->hki", R_cols, dirs_s)
+    origins = np.concatenate(
+        [t_cols[None, :, :2].repeat(H, axis=0),
+         np.full((H, W, 1), sensor_height)], axis=-1,
+    )
+    dist = _ray_world(origins, dirs_w, world)
+    if noise > 0:
+        rs = np.random.RandomState(seed)
+        dist = dist + rs.randn(*dist.shape) * noise
+    hit = np.isfinite(dist) & (dist < world.max_range)
+    pts = dirs_s * dist[..., None]
+    pts = np.where(hit[..., None], pts, np.nan)
+    return pts.reshape(-1, 3).astype(np.float32)
+
+
+def swept_scan_sequence(poses, cfg, world=None, noise=0.0, seed=0):
+    """Render motion-distorted scans: scan i sweeps poses[i-1] -> poses[i],
+    so scan i ENDS at poses[i] (scan-end pose = poses[i], matching the
+    rigid `scan_sequence` ground-truth convention; scan 0 is rigid)."""
+    world = world or World()
+    out = []
+    for i in range(len(poses)):
+        p0 = poses[i - 1] if i > 0 else poses[i]
+        out.append(
+            render_scan_swept(p0, poses[i], cfg, world, noise=noise,
+                              seed=seed + i)
+        )
+    return np.stack(out)
+
+
 def circle_trajectory(n: int, radius: float = 8.0, step_deg: float = 1.0):
     """Ground-truth poses driving a circle. Returns list of (R, t)."""
     poses = []
@@ -170,6 +253,38 @@ def straight_trajectory(n: int, speed: float = 0.1, yaw_rate: float = 0.0):
         poses.append((R, x.copy()))
         x = x + R @ np.array([speed, 0.0, 0.0])
         yaw += yaw_rate
+    return poses
+
+
+def lap_trajectory(
+    n_laps: int = 3,
+    straight_frames: int = 150,
+    turn_frames: int = 25,
+    speed: float = 0.12,
+    half_x: float = 12.0,
+    half_y: float = 8.0,
+):
+    """Rectangular multi-lap course (campus-style revisits for loop
+    closure): straights along the rectangle sides with 90-degree corner
+    turns. Returns list of (R, t) world poses starting at (-half_x, -half_y)
+    heading +x."""
+    poses = []
+    x = np.array([-half_x, -half_y, 0.0])
+    yaw = 0.0
+    for _ in range(n_laps):
+        for _leg in range(4):
+            for _ in range(straight_frames):
+                c, s = np.cos(yaw), np.sin(yaw)
+                R = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+                poses.append((R, x.copy()))
+                x = x + R @ np.array([speed, 0.0, 0.0])
+            dyaw = (np.pi / 2.0) / turn_frames
+            for _ in range(turn_frames):
+                c, s = np.cos(yaw), np.sin(yaw)
+                R = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+                poses.append((R, x.copy()))
+                x = x + R @ np.array([speed, 0.0, 0.0])
+                yaw += dyaw
     return poses
 
 

@@ -61,11 +61,19 @@ class LegoLoamPipeline:
 
         from .frontend import frontend_step_fused
 
-        self._frontend = jax.jit(
-            lambda pts, mask, state, idx, Rm, tm, Ro, to: frontend_step_fused(
-                pts, mask, state, idx, Rm, tm, Ro, to, cfg
+        # IMU undistortion / wheel-odometry prior extend the per-scan jit
+        # signature only when enabled — the plain path stays untouched.
+        self._use_imu = cfg.pipeline.use_imu_undistortion
+        self._use_odom = cfg.odometry.odom_prior_mode != "off"
+        self._last_odom = None  # (R, t) of the latest wheel-odom pose
+
+        def _fused(pts, mask, state, idx, Rm, tm, Ro, to, imu=None, odom=None):
+            return frontend_step_fused(
+                pts, mask, state, idx, Rm, tm, Ro, to, cfg,
+                imu=imu, odom=odom,
             )
-        )
+
+        self._frontend = jax.jit(_fused)
         # NOTE: donating the state pytree trips an XLA buffer-count mismatch
         # when a sharded program ran earlier in the process (jax 0.9); the
         # un-donated copy of the keyframe store costs ~3 ms/frame at full
@@ -128,7 +136,53 @@ class LegoLoamPipeline:
 
     # -- main entry ---------------------------------------------------------
 
-    def process_scan(self, points: np.ndarray, timestamp: Optional[float] = None):
+    def _pack_imu(self, imu_samples):
+        """(S_raw, 7) rows [t_rel, roll, pitch, yaw, ax, ay, az] -> fixed
+        (S, ...) window dict (pad-and-mask)."""
+        S = self.cfg.pipeline.imu_window
+        buf = np.zeros((S, 7), np.float32)
+        m = np.zeros((S,), bool)
+        if imu_samples is not None and len(imu_samples):
+            k = min(len(imu_samples), S)
+            buf[:k] = np.asarray(imu_samples, np.float32)[:k]
+            m[:k] = True
+        return {
+            "t": jnp.asarray(buf[:, 0]),
+            "rpy": jnp.asarray(buf[:, 1:4]),
+            "acc": jnp.asarray(buf[:, 4:7]),
+            "mask": jnp.asarray(m),
+        }
+
+    def _pack_odom(self, odom_pose):
+        """Current wheel-odom pose -> {R_prev, t_prev, R_cur, t_cur} dict,
+        carrying the previous pose host-side (identity motion on frame 0 or
+        when the stream has a gap)."""
+        if odom_pose is None:
+            cur = self._last_odom
+        else:
+            cur = (
+                np.asarray(odom_pose[0], np.float32),
+                np.asarray(odom_pose[1], np.float32),
+            )
+        if cur is None:
+            cur = (np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
+        prev = self._last_odom if self._last_odom is not None else cur
+        self._last_odom = cur
+        return {
+            "R_prev": jnp.asarray(prev[0]), "t_prev": jnp.asarray(prev[1]),
+            "R_cur": jnp.asarray(cur[0]), "t_cur": jnp.asarray(cur[1]),
+        }
+
+    def process_scan(
+        self, points: np.ndarray, timestamp: Optional[float] = None,
+        imu_samples=None, odom_pose=None,
+    ):
+        """Process one scan.
+
+        imu_samples: optional (S, 7) [t_rel_to_scan_start, roll, pitch, yaw,
+        ax, ay, az] raw IMU rows over this scan's period (used when
+        cfg.pipeline.use_imu_undistortion). odom_pose: optional (R, t) wheel
+        odometry pose at this scan (used when odom_prior_mode != 'off')."""
         cfg = self.cfg
         t_scan = (
             timestamp
@@ -138,12 +192,17 @@ class LegoLoamPipeline:
         self._finalized = False
 
         pts, mask = self._prep(points)
+        kw = {}
+        if self._use_imu:
+            kw["imu"] = self._pack_imu(imu_samples)
+        if self._use_odom:
+            kw["odom"] = self._pack_odom(odom_pose)
         # Fusion uses the latest *available* map pose — one frame stale, the
         # same asynchronous semantics as the reference's TransformFusion node.
         self.fstate, out = self._frontend(
             pts, mask, self.fstate, jnp.int32(self.frame_idx),
             self.bstate.R_map, self.bstate.t_map,
-            self.bstate.R_odom, self.bstate.t_odom,
+            self.bstate.R_odom, self.bstate.t_odom, **kw,
         )
         self._dev_log["odom_t"].append(out["t_world"])
 
@@ -217,15 +276,41 @@ class LegoLoamPipeline:
         cfg = self.cfg
         div = cfg.mapping.mapping_frequency_divider
 
+        use_imu = self._use_imu
+        use_odom = self._use_odom
+
         def step(carry, inp):
-            fstate, bstate, idx = carry
-            pts, mask, t_scan = inp
+            fstate, bstate, idx, odom_prev = carry
+            pts, mask, t_scan = inp["pts"], inp["mask"], inp["ts"]
             key = jax.random.fold_in(jax.random.PRNGKey(0), idx)
-            _grid, seg, feats = frontend_prepass(pts, mask, cfg, key)
+
+            imu_track = None
+            if use_imu:
+                from .imu import integrate_imu
+
+                im = inp["imu"]
+                imu_track = integrate_imu(
+                    im["t"], im["rpy"], im["acc"], mask=im["mask"]
+                )
+            odom_prior = None
+            if use_odom:
+                from .imu import odom_prior_motion
+
+                odom_prior = odom_prior_motion(
+                    fstate.R_world, fstate.t_world,
+                    odom_prev[0], odom_prev[1],
+                    inp["odom_R"], inp["odom_t"],
+                    cfg.odometry.odom_lever_arm,
+                )
+                odom_prev = (inp["odom_R"], inp["odom_t"])
+
+            _grid, seg, feats = frontend_prepass(
+                pts, mask, cfg, key, imu_track=imu_track
+            )
             ds = downsample_current_scan(
                 feats, seg.outlier_xyz, seg.outlier_mask, cfg
             )
-            fstate, out = frontend_solve(feats, fstate, cfg)
+            fstate, out = frontend_solve(feats, fstate, cfg, odom_prior)
 
             # TransformFusion output at odometry rate, using the latest
             # *available* map pose — one frame stale, the same asynchronous
@@ -262,14 +347,14 @@ class LegoLoamPipeline:
                 "t_map": bstate.t_map,
                 "diag": diag,
             }
-            return (fstate, bstate, idx + 1), ys
+            return (fstate, bstate, idx + 1, odom_prev), ys
 
         @partial(jax.jit, donate_argnums=(0, 1))
-        def run(fstate, bstate, idx0, pts, masks, ts):
-            (fstate, bstate, _), ys = jax.lax.scan(
-                step, (fstate, bstate, idx0), (pts, masks, ts)
+        def run(fstate, bstate, idx0, xs, odom_prev):
+            (fstate, bstate, _, odom_prev), ys = jax.lax.scan(
+                step, (fstate, bstate, idx0, odom_prev), xs
             )
-            return fstate, bstate, ys
+            return fstate, bstate, odom_prev, ys
 
         return run
 
@@ -286,13 +371,15 @@ class LegoLoamPipeline:
             m[c, :k] = finite
         return buf, m
 
-    def process_chunk(self, pts, masks, timestamps=None):
+    def process_chunk(self, pts, masks, timestamps=None, imu=None, odom=None):
         """Process C scans in one device dispatch.
 
         pts: (C, max_points, 3) float32, masks: (C, max_points) bool —
-        host or device arrays. Loop closure (host decision) is checked once
-        per chunk, not per frame; pass smaller chunks if tighter loop-closure
-        latency is needed."""
+        host or device arrays. imu: optional per-frame sample windows
+        {"t": (C,S), "rpy": (C,S,3), "acc": (C,S,3), "mask": (C,S)}; odom:
+        optional ((C,3,3), (C,3)) wheel-odom poses. Loop closure (host
+        decision) is checked once per chunk, not per frame; pass smaller
+        chunks if tighter loop-closure latency is needed."""
         cfg = self.cfg
         if self._chunk_runner is None:
             self._chunk_runner = self._build_chunk_runner()
@@ -303,10 +390,38 @@ class LegoLoamPipeline:
             timestamps = (np.arange(f0, f0 + C) * cfg.laser.scan_period).astype(
                 np.float32
             )
-        self.fstate, self.bstate, ys = self._chunk_runner(
-            self.fstate, self.bstate, jnp.int32(f0),
-            jnp.asarray(pts), jnp.asarray(masks),
-            jnp.asarray(timestamps, jnp.float32),
+        xs = {
+            "pts": jnp.asarray(pts),
+            "mask": jnp.asarray(masks),
+            "ts": jnp.asarray(timestamps, jnp.float32),
+        }
+        if self._use_imu:
+            S = cfg.pipeline.imu_window
+            if imu is None:
+                imu = {
+                    "t": np.zeros((C, S), np.float32),
+                    "rpy": np.zeros((C, S, 3), np.float32),
+                    "acc": np.zeros((C, S, 3), np.float32),
+                    "mask": np.zeros((C, S), bool),
+                }
+            xs["imu"] = jax.tree.map(jnp.asarray, dict(imu))
+        if self._use_odom:
+            if odom is None:
+                R = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
+                t = np.zeros((C, 3), np.float32)
+            else:
+                R, t = np.asarray(odom[0], np.float32), np.asarray(odom[1], np.float32)
+            xs["odom_R"] = jnp.asarray(R)
+            xs["odom_t"] = jnp.asarray(t)
+            prev = self._last_odom
+            if prev is None:
+                prev = (np.asarray(R[0]), np.asarray(t[0]))
+            odom_prev = (jnp.asarray(prev[0]), jnp.asarray(prev[1]))
+            self._last_odom = (np.asarray(R[-1]), np.asarray(t[-1]))
+        else:
+            odom_prev = (jnp.eye(3), jnp.zeros(3))
+        self.fstate, self.bstate, _odom_prev, ys = self._chunk_runner(
+            self.fstate, self.bstate, jnp.int32(f0), xs, odom_prev
         )
         self._dev_log["odom_t"].append(ys["t_world"])
         self._dev_log["fused_t"].append(ys["t_fused"])

@@ -25,6 +25,13 @@ def main(argv=None):
     p.add_argument("--kitti", help="KITTI sequence dir (velodyne/*.bin)")
     p.add_argument("--rosbag", help="rosbag2 dir or .db3 file")
     p.add_argument("--topic", default="/velodyne_points")
+    p.add_argument("--imu-topic", default=None,
+                   help="IMU topic (enables scan undistortion, ≙ /imu_type)")
+    p.add_argument("--odom-topic", default=None,
+                   help="wheel-odometry topic (≙ /odom2)")
+    p.add_argument("--odom-prior-mode", default="init",
+                   choices=["init", "override"],
+                   help="how the odom prior is used when --odom-topic is set")
     p.add_argument("--synthetic", type=int, help="run N synthetic frames")
     p.add_argument("--out", default="out")
     p.add_argument("--max-frames", type=int, default=0)
@@ -50,6 +57,18 @@ def main(argv=None):
     if args.no_map_update:
         mapping = dataclasses.replace(mapping, enable_map_update=False)
     cfg = dataclasses.replace(cfg, mapping=mapping)
+    if args.imu_topic:
+        cfg = dataclasses.replace(
+            cfg,
+            pipeline=dataclasses.replace(cfg.pipeline, use_imu_undistortion=True),
+        )
+    if args.odom_topic:
+        cfg = dataclasses.replace(
+            cfg,
+            odometry=dataclasses.replace(
+                cfg.odometry, odom_prior_mode=args.odom_prior_mode
+            ),
+        )
 
     pipe = LegoLoamPipeline(cfg, profile=args.profile)
     if args.resume:
@@ -74,27 +93,65 @@ def main(argv=None):
                     return
                 idx, buf, mask, ts = item
                 pts = np.where(mask[:, None], buf, np.nan)
-                yield pts, ts
+                yield pts, ts, None, None
         elif args.rosbag:
             from .io.rosbag2 import Rosbag2Reader
+            from .math import se3 as _se3
+            import jax.numpy as _jnp
 
             rdr = Rosbag2Reader(args.rosbag)
+
+            imu_rows = []
+            if args.imu_topic:
+                # (t_abs, roll, pitch, yaw, ax, ay, az) sorted by time
+                for t, q, _w, acc in rdr.messages(args.imu_topic):
+                    R = np.asarray(_se3.quat_to_matrix(_jnp.asarray(q)))
+                    r_, p_, y_ = np.asarray(
+                        _se3.matrix_to_euler_zyx(_jnp.asarray(R))
+                    )
+                    imu_rows.append((t, r_, p_, y_, *acc))
+                imu_rows = np.asarray(imu_rows, np.float64)
+
+            odom_rows = []
+            if args.odom_topic:
+                for t, pos, q, _v, _w in rdr.messages(args.odom_topic):
+                    R = np.asarray(_se3.quat_to_matrix(_jnp.asarray(q)))
+                    odom_rows.append((t, R, np.asarray(pos)))
+
+            def imu_window(ts):
+                if not args.imu_topic or not len(imu_rows):
+                    return None
+                sp = cfg.laser.scan_period
+                sel = (imu_rows[:, 0] >= ts) & (imu_rows[:, 0] <= ts + sp)
+                w = imu_rows[sel].copy()
+                w[:, 0] -= ts  # times relative to scan start
+                return w.astype(np.float32)
+
+            def odom_at(ts):
+                if not args.odom_topic or not odom_rows:
+                    return None
+                k = min(
+                    range(len(odom_rows)),
+                    key=lambda i: abs(odom_rows[i][0] - ts),
+                )
+                return odom_rows[k][1], odom_rows[k][2]
+
             for t, xyz in rdr.scan_stream(args.topic):
-                yield xyz, t
+                yield xyz, t, imu_window(t), odom_at(t)
         elif args.synthetic:
             from .io.synthetic import render_scan, straight_trajectory
 
             poses = straight_trajectory(args.synthetic, speed=0.15,
                                         yaw_rate=np.deg2rad(1.0))
             for i, (R, t) in enumerate(poses):
-                yield render_scan(R, t, cfg, noise=0.01, seed=i), i * 0.1
+                yield render_scan(R, t, cfg, noise=0.01, seed=i), i * 0.1, None, None
         else:
             p.error("one of --kitti/--rosbag/--synthetic required")
 
     t0 = time.perf_counter()
     n = 0
-    for pts, ts in scan_stream():
-        pipe.process_scan(pts, ts)
+    for pts, ts, imu, odom in scan_stream():
+        pipe.process_scan(pts, ts, imu_samples=imu, odom_pose=odom)
         n += 1
         if args.max_frames and n >= args.max_frames:
             break

@@ -29,7 +29,12 @@ def small_cfg():
         max_keyframes=128,
     )
     dist = dataclasses.replace(cfg.distributed, cg_iterations=32)
-    return dataclasses.replace(cfg, features=feats, mapping=mapping, distributed=dist)
+    # Fixtures are rigid renders (all points captured at one pose), so the
+    # production rel_time warp would inject model error.
+    pipe = dataclasses.replace(cfg.pipeline, rigid_scans=True)
+    return dataclasses.replace(
+        cfg, features=feats, mapping=mapping, distributed=dist, pipeline=pipe
+    )
 
 
 @pytest.fixture(scope="module")

@@ -24,7 +24,13 @@ def prep(cfg, pts):
 
 @pytest.fixture(scope="module")
 def cfg():
-    return vlp16()
+    import dataclasses
+
+    c = vlp16()
+    # rigid renders -> disable the production rel_time warp
+    return dataclasses.replace(
+        c, pipeline=dataclasses.replace(c.pipeline, rigid_scans=True)
+    )
 
 
 @pytest.fixture(scope="module")

@@ -78,7 +78,9 @@ def test_override_mode_pins_motion():
 
     cfg = vlp16()
     cfg = dataclasses.replace(
-        cfg, odometry=dataclasses.replace(cfg.odometry, odom_prior_mode="override")
+        cfg,
+        odometry=dataclasses.replace(cfg.odometry, odom_prior_mode="override"),
+        pipeline=dataclasses.replace(cfg.pipeline, rigid_scans=True),
     )
     state = init_odometry_state(cfg)
     key = jax.random.PRNGKey(0)

@@ -1,0 +1,119 @@
+"""Campus-scale validation run: a multi-lap, multi-revisit drive with loop
+closure enabled (≙ BASELINE.json config 4 / the Stevens 20K-scan workload,
+/root/reference/README.md:108-111), sized for the single attached chip.
+
+Runs the full flagship path (chunked device-resident runner, loop closure
+on), then writes the reference artifact set plus CAMPUS_RUN.json with:
+completion, frame count, keyframes, loop-closure count, scans/s over the
+whole run, odometry-only drift vs post-closure ATE.
+
+    python tools/campus_run.py [--frames 2100] [--laps 3] [--out out_campus]
+"""
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--laps", type=int, default=3)
+    ap.add_argument("--straight", type=int, default=150)
+    ap.add_argument("--turn", type=int, default=25)
+    ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--out", default="out_campus")
+    ap.add_argument("--max-keyframes", type=int, default=4096)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from lego_loam_tpu.config import vlp16
+    from lego_loam_tpu.io.synthetic import lap_trajectory, render_scan_swept
+    from lego_loam_tpu.pipeline import LegoLoamPipeline
+    from lego_loam_tpu.utils.metrics import ate_rmse
+
+    cfg = vlp16()
+    cfg = dataclasses.replace(
+        cfg,
+        mapping=dataclasses.replace(
+            cfg.mapping,
+            enable_loop_closure=True,
+            max_keyframes=args.max_keyframes,
+        ),
+    )
+
+    poses = lap_trajectory(args.laps, args.straight, args.turn)
+    n = len(poses)
+    print(f"rendering {n} swept scans ...", flush=True)
+    t0 = time.perf_counter()
+    scans = []
+    for i in range(n):
+        p0 = poses[i - 1] if i > 0 else poses[i]
+        scans.append(
+            render_scan_swept(p0, poses[i], cfg, noise=0.01, seed=100 + i)
+        )
+    print(f"rendered in {time.perf_counter() - t0:.1f}s", flush=True)
+
+    pipe = LegoLoamPipeline(cfg)
+    # pre-pack chunks (host-side packing excluded from throughput, as in
+    # bench.py — the reference's DDS deserialize is outside its timing too)
+    C = args.chunk
+    prepped = [
+        pipe._prep_many(scans[s:s + C]) for s in range(0, n - n % C, C)
+    ]
+
+    t0 = time.perf_counter()
+    for c, (p, m) in enumerate(prepped):
+        pipe.process_chunk(p, m)
+        if (c + 1) % 10 == 0:
+            done = (c + 1) * C
+            print(
+                f"frame {done}/{n} kf={int(pipe.bstate.n_kf)} "
+                f"loops={len(pipe.loop_factors)} "
+                f"({done / (time.perf_counter() - t0):.1f} scans/s)",
+                flush=True,
+            )
+    jax.block_until_ready(pipe.bstate.t_map)
+    dt = time.perf_counter() - t0
+    n_run = len(prepped) * C
+    pipe.finalize()
+
+    gt = np.stack([t for _, t in poses])[:n_run]
+    est = np.asarray(pipe.trajectory["positions"])
+    odom = np.asarray(pipe.odom_positions)
+    ate_map = ate_rmse(est, gt, align=False)
+    ate_odom = ate_rmse(odom, gt, align=False)
+    finite = bool(np.isfinite(est).all())
+
+    pipe.save_artifacts(args.out)
+    from lego_loam_tpu.mapproducts import save_map
+
+    save_map(pipe.bstate, args.out, cfg)
+
+    result = {
+        "frames": n_run,
+        "scans_per_sec": round(n_run / dt, 2),
+        "keyframes_total": int(pipe.bstate.n_kf),
+        "loop_closures": len(pipe.loop_factors),
+        "ate_map_m": round(float(ate_map), 4),
+        "ate_odom_only_m": round(float(ate_odom), 4),
+        "finite": finite,
+        "laps": args.laps,
+    }
+    print(json.dumps(result))
+    with open("CAMPUS_RUN.json", "w") as f:
+        json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

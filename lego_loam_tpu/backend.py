@@ -109,14 +109,22 @@ def init_backend_state(cfg: LegoLoamConfig) -> BackendState:
     def zeros(shape):
         return jnp.asarray(np.zeros(shape, np.float32))
 
+    def dev_zeros(shape, dtype=jnp.float32):
+        # Large zero arrays are created ON DEVICE (one jit call each, so
+        # every call owns a distinct donation-safe buffer). A single big
+        # host->device upload here (~1 GB at default capacity) permanently
+        # degrades the relay transport: every later transfer — including the
+        # per-chunk 6 MB scan feed — jumps from ~5 ms to ~130 ms (measured).
+        return jax.jit(lambda: jnp.zeros(shape, dtype))()
+
     return BackendState(
         kf_R=jnp.tile(eye3()[None], (K, 1, 1)),
         kf_t=zeros((K, 3)),
         kf_time=zeros((K,)),
-        kf_corner=zeros((K, KF_CORNER_CAP * 3)),
-        kf_corner_mask=jnp.asarray(np.zeros((K, KF_CORNER_CAP), bool)),
-        kf_surf=zeros((K, KF_SURF_CAP * 3)),
-        kf_surf_mask=jnp.asarray(np.zeros((K, KF_SURF_CAP), bool)),
+        kf_corner=dev_zeros((K, KF_CORNER_CAP * 3)),
+        kf_corner_mask=dev_zeros((K, KF_CORNER_CAP), bool),
+        kf_surf=dev_zeros((K, KF_SURF_CAP * 3)),
+        kf_surf_mask=dev_zeros((K, KF_SURF_CAP), bool),
         kf_rel_R=jnp.tile(eye3()[None], (K, 1, 1)),
         kf_rel_t=zeros((K, 3)),
         n_kf=jnp.asarray(np.int32(0)),

@@ -68,7 +68,12 @@ def load(pipe: LegoLoamPipeline, path: str) -> LegoLoamPipeline:
 
     pipe.fstate = unflatten("f", pipe.fstate)
     pipe.bstate = unflatten("b", pipe.bstate)
+    if pipe._mesh is not None and pipe.cfg.distributed.shard_backend:
+        from .distributed import shard_backend_state
+
+        pipe.bstate = shard_backend_state(pipe._mesh, pipe.bstate)
     pipe.frame_idx = int(meta["frame_idx"])
+    pipe._idx_dev = None  # chunk runner's device counter re-syncs lazily
     pipe.loop_factors = [
         LoopFactor(
             i=int(f["i"]),

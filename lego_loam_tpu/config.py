@@ -279,13 +279,27 @@ class DistributedConfig:
     cg_iterations: int = 64
     cg_tolerance: float = 1e-6
     # Use the mesh-sharded pose-graph solver for loop-closure corrections
-    # when more than one device is visible.
-    use_sharded_posegraph: bool = False
+    # when more than one device is visible. Default ON: multi-device means
+    # the solves should ride the mesh (single-device runs are unaffected).
+    use_sharded_posegraph: bool = True
+    # Shard the backend state (keyframe store + assembled submap) over the
+    # device mesh: the jitted mapping programs are then GSPMD-partitioned —
+    # submap assembly, 5-NN and GN reductions run distributed with XLA
+    # inserting the collectives. Default ON when >1 device is visible and
+    # the capacities divide the mesh.
+    shard_backend: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
 class PipelineConfig:
     use_imu_undistortion: bool = False
+    # Host-side global-map assembly every mapping.global_map_every_n_frames
+    # mapped frames (≙ publishGlobalMap's every-5th-frame signal thread,
+    # mapOptmization.cpp:775-892, :1919-1921). Off by default: it costs a
+    # keyframe-store device_get per publish, which has no consumer in a
+    # headless run; the pipeline stashes the latest map in
+    # `latest_global_map` when enabled.
+    publish_global_map: bool = False
     # Treat input clouds as rigid snapshots (all points captured at scan
     # end): disables the constant-twist rel_time warp in the odometry
     # residuals. The reference ALWAYS warps mid-scan points by the motion

@@ -37,7 +37,28 @@ from .ops.knn import pairwise_sqdist
 _BIG = jnp.float32(1e30)
 
 
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host entry point: join the JAX distributed runtime so
+    `jax.devices()` (and therefore `make_mesh`) spans every host's chips.
+
+    ≙ nothing in the reference (single process, single machine — SURVEY.md
+    §2.2); this is the new north-star capability. With no arguments the
+    coordinator/process-count/process-id come from the environment
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID or the
+    cloud-TPU metadata), matching `jax.distributed.initialize` defaults."""
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_mesh(n_devices: int | None = None) -> Mesh:
+    """Mesh over the (global, after init_distributed) device set."""
     devs = jax.devices()
     n = n_devices or len(devs)
     devs = np.array(devs[:n])
@@ -46,6 +67,41 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     else:
         shape = (n, 1)
     return Mesh(devs.reshape(shape), ("graph", "map"))
+
+
+def backend_state_shardings(mesh: Mesh, state):
+    """NamedShardings putting the keyframe store and the assembled submap on
+    the mesh (keyframes and map blocks sharded over all devices; poses and
+    scalars replicated) — the north star's "keyframes/map blocks sharded
+    across hosts". Applied to the pipeline's BackendState, the jitted chunk
+    runner then partitions every mapping op (submap assembly, 5-NN, GN
+    reductions) via GSPMD, with XLA inserting the collectives.
+
+    Returns a pytree of NamedShardings matching `state`'s structure."""
+    every = P(("graph", "map"))
+    rep = NamedSharding(mesh, P())
+    row = NamedSharding(mesh, every)
+
+    def spec_for(path, leaf):
+        name = ".".join(str(getattr(p, "name", p)) for p in path)
+        if leaf.ndim == 0:
+            return rep
+        if name.startswith("kf_") or name.startswith("submap."):
+            # shard the leading (K or point) axis; fall back to replication
+            # when the axis does not divide the mesh
+            if leaf.shape[0] % mesh.devices.size == 0:
+                return row
+        return rep
+
+    import jax.tree_util as jtu
+
+    return jtu.tree_map_with_path(spec_for, state)
+
+
+def shard_backend_state(mesh: Mesh, state):
+    """device_put the BackendState onto the mesh per backend_state_shardings."""
+    shardings = backend_state_shardings(mesh, state)
+    return jax.tree.map(jax.device_put, state, shardings)
 
 
 # ---------------------------------------------------------------------------

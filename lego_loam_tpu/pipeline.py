@@ -89,11 +89,18 @@ class LegoLoamPipeline:
             )
         )
         self._mesh = None
-        if cfg.distributed.use_sharded_posegraph and len(jax.devices()) > 1:
-            from .distributed import make_mesh, sharded_pose_graph_solver
+        if len(jax.devices()) > 1 and (
+            cfg.distributed.use_sharded_posegraph or cfg.distributed.shard_backend
+        ):
+            from .distributed import make_mesh
 
             self._mesh = make_mesh()
+        if self._mesh is not None and cfg.distributed.use_sharded_posegraph:
+            from .distributed import sharded_pose_graph_solver
+
             self._solve_graph_sharded = sharded_pose_graph_solver(self._mesh, cfg)
+        else:
+            self._solve_graph_sharded = None
         self._solve_graph = jax.jit(
             lambda R, t, f, mask: solve_pose_graph(R, t, f, mask, cfg)
         )
@@ -102,9 +109,28 @@ class LegoLoamPipeline:
         # costs more than the device programs themselves — lax.scan over a
         # chunk of scans runs C frames per host round trip.
         self._chunk_runner = None
+        # Hoisted identity odom_prev: building jnp.eye/zeros per chunk
+        # dispatches two eager device ops whose relay round-trips cost more
+        # than the whole chunk program (measured ~10 ms/frame).
+        self._identity_prev = (
+            jnp.asarray(np.eye(3, dtype=np.float32)),
+            jnp.asarray(np.zeros(3, np.float32)),
+        )
+        # Device-resident frame counter for the chunk runner (donated through
+        # each call — zero steady-state scalar uploads). None = out of sync
+        # with self.frame_idx; re-uploaded at the next process_chunk.
+        self._idx_dev = None
 
         self.fstate: OdometryState = init_odometry_state(cfg)
         self.bstate: BackendState = init_backend_state(cfg)
+        if self._mesh is not None and cfg.distributed.shard_backend:
+            # Keyframe store + submap sharded over the mesh: every jitted
+            # program touching the state is GSPMD-partitioned from the input
+            # shardings (the north star's "keyframes/map blocks sharded",
+            # replacing nothing in the single-machine reference).
+            from .distributed import shard_backend_state
+
+            self.bstate = shard_backend_state(self._mesh, self.bstate)
         self.loop_factors: list[LoopFactor] = []
         self.frame_idx = 0
         # Device-array logs (materialized lazily in finalize()).
@@ -120,6 +146,15 @@ class LegoLoamPipeline:
         self.trajectory = {"positions": [], "rpys": [], "times": []}
         self._finalized = False
         self._last_loop_check = -(10 ** 9)
+        # ≙ /initialpose run-control flag (mapOptmization.cpp:437-456):
+        # request_stop() ends run()/run_chunked() at the next frame/chunk
+        # boundary so a re-localization session can take over (relocalize.py).
+        self._stop_requested = False
+        # Global-map cadence (≙ publishGlobalMap every-5th-frame thread).
+        self.latest_global_map = None
+        self.global_map_count = 0
+        self._mapped_frames = 0
+        self._next_global_map = cfg.mapping.global_map_every_n_frames
 
     # -- input prep ---------------------------------------------------------
 
@@ -239,10 +274,13 @@ class LegoLoamPipeline:
             ):
                 self._last_loop_check = self.frame_idx
                 self._try_loop_closure()
+            self._mapped_frames += 1
+            self._maybe_publish_global_map()
 
         self._dev_log["fused_t"].append(out["t_fused"])
 
         self.frame_idx += 1
+        self._idx_dev = None  # chunk runner's device counter now stale
         return {
             "R_odom": out["R_world"],
             "t_odom": out["t_world"],
@@ -281,7 +319,13 @@ class LegoLoamPipeline:
 
         def step(carry, inp):
             fstate, bstate, idx, odom_prev = carry
-            pts, mask, t_scan = inp["pts"], inp["mask"], inp["ts"]
+            pts, mask = inp["pts"], inp["mask"]
+            # Timestamps ride the feed when the source has real ones
+            # (rosbag/KITTI); otherwise derived on device from the frame
+            # counter — zero per-chunk scalar uploads.
+            t_scan = inp.get(
+                "ts", idx.astype(jnp.float32) * cfg.laser.scan_period
+            )
             key = jax.random.fold_in(jax.random.PRNGKey(0), idx)
 
             imu_track = None
@@ -349,12 +393,12 @@ class LegoLoamPipeline:
             }
             return (fstate, bstate, idx + 1, odom_prev), ys
 
-        @partial(jax.jit, donate_argnums=(0, 1))
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
         def run(fstate, bstate, idx0, xs, odom_prev):
-            (fstate, bstate, _, odom_prev), ys = jax.lax.scan(
+            (fstate, bstate, idx, odom_prev), ys = jax.lax.scan(
                 step, (fstate, bstate, idx0, odom_prev), xs
             )
-            return fstate, bstate, odom_prev, ys
+            return fstate, bstate, idx, odom_prev, ys
 
         return run
 
@@ -371,30 +415,17 @@ class LegoLoamPipeline:
             m[c, :k] = finite
         return buf, m
 
-    def process_chunk(self, pts, masks, timestamps=None, imu=None, odom=None):
-        """Process C scans in one device dispatch.
+    def stage_chunk(self, pts, masks, timestamps=None, imu=None, odom=None):
+        """Move one chunk's inputs to the device WITHOUT processing them.
 
-        pts: (C, max_points, 3) float32, masks: (C, max_points) bool —
-        host or device arrays. imu: optional per-frame sample windows
-        {"t": (C,S), "rpy": (C,S,3), "acc": (C,S,3), "mask": (C,S)}; odom:
-        optional ((C,3,3), (C,3)) wheel-odom poses. Loop closure (host
-        decision) is checked once per chunk, not per frame; pass smaller
-        chunks if tighter loop-closure latency is needed."""
+        Returns the staged xs dict for process_chunk. Call this for chunk
+        c+1 right after dispatching chunk c: the transfer then overlaps the
+        device execution (double buffering) instead of serializing with it."""
         cfg = self.cfg
-        if self._chunk_runner is None:
-            self._chunk_runner = self._build_chunk_runner()
         C = int(pts.shape[0])
-        self._finalized = False
-        f0 = self.frame_idx
-        if timestamps is None:
-            timestamps = (np.arange(f0, f0 + C) * cfg.laser.scan_period).astype(
-                np.float32
-            )
-        xs = {
-            "pts": jnp.asarray(pts),
-            "mask": jnp.asarray(masks),
-            "ts": jnp.asarray(timestamps, jnp.float32),
-        }
+        xs = {"pts": jnp.asarray(pts), "mask": jnp.asarray(masks)}
+        if timestamps is not None:
+            xs["ts"] = jnp.asarray(timestamps, jnp.float32)
         if self._use_imu:
             S = cfg.pipeline.imu_window
             if imu is None:
@@ -413,15 +444,55 @@ class LegoLoamPipeline:
                 R, t = np.asarray(odom[0], np.float32), np.asarray(odom[1], np.float32)
             xs["odom_R"] = jnp.asarray(R)
             xs["odom_t"] = jnp.asarray(t)
+        return xs
+
+    def process_chunk(self, pts, masks=None, timestamps=None, imu=None, odom=None):
+        """Process C scans in one device dispatch.
+
+        pts: (C, max_points, 3) float32, masks: (C, max_points) bool —
+        host or device arrays, OR pts = a staged xs dict from stage_chunk()
+        (then masks is ignored). imu: optional per-frame sample windows
+        {"t": (C,S), "rpy": (C,S,3), "acc": (C,S,3), "mask": (C,S)}; odom:
+        optional ((C,3,3), (C,3)) wheel-odom poses. Loop closure (host
+        decision) is checked once per chunk, not per frame; pass smaller
+        chunks if tighter loop-closure latency is needed.
+
+        Steady state performs ZERO eager host->device uploads: the frame
+        counter lives on device (donated through the runner), timestamps are
+        derived on device unless real ones are provided, and the odom_prev
+        pose is either device-carried or the hoisted identity."""
+        cfg = self.cfg
+        if self._chunk_runner is None:
+            self._chunk_runner = self._build_chunk_runner()
+        if isinstance(pts, dict):
+            xs = pts
+            C = int(xs["pts"].shape[0])
+        else:
+            xs = self.stage_chunk(pts, masks, timestamps, imu, odom)
+            C = int(pts.shape[0])
+        self._finalized = False
+        f0 = self.frame_idx
+        if self._use_odom:
+            R = np.asarray(xs["odom_R"])
+            t = np.asarray(xs["odom_t"])
             prev = self._last_odom
             if prev is None:
-                prev = (np.asarray(R[0]), np.asarray(t[0]))
+                prev = (R[0], t[0])
             odom_prev = (jnp.asarray(prev[0]), jnp.asarray(prev[1]))
-            self._last_odom = (np.asarray(R[-1]), np.asarray(t[-1]))
+            self._last_odom = (R[-1], t[-1])
         else:
-            odom_prev = (jnp.eye(3), jnp.zeros(3))
-        self.fstate, self.bstate, _odom_prev, ys = self._chunk_runner(
-            self.fstate, self.bstate, jnp.int32(f0), xs, odom_prev
+            odom_prev = self._identity_prev
+        if self._idx_dev is None:
+            self._idx_dev = jnp.int32(f0)
+        timestamps = xs.get("ts")
+        if timestamps is None:
+            timestamps = (np.arange(f0, f0 + C) * cfg.laser.scan_period).astype(
+                np.float32
+            )
+        self.fstate, self.bstate, self._idx_dev, _odom_prev, ys = (
+            self._chunk_runner(
+                self.fstate, self.bstate, self._idx_dev, xs, odom_prev
+            )
         )
         self._dev_log["odom_t"].append(ys["t_world"])
         self._dev_log["fused_t"].append(ys["t_fused"])
@@ -438,9 +509,14 @@ class LegoLoamPipeline:
         self._dev_log["map_R"].append(mR)
         self._dev_log["map_t"].append(mt)
         self._dev_log["diag"].append(diag)
-        self._dev_log["map_time"].extend(
-            float(t) for t in np.asarray(timestamps)[mapped]
-        )
+        # timestamps may live on device (staged chunk): defer the read to
+        # finalize() — no blocking device_get in the steady state.
+        if isinstance(timestamps, np.ndarray):
+            self._dev_log["map_time"].extend(
+                float(t) for t in timestamps[mapped]
+            )
+        else:
+            self._dev_log["map_time"].append(timestamps[jnp.asarray(mapped)])
         self.frame_idx += C
 
         if cfg.mapping.enable_loop_closure and (
@@ -449,12 +525,42 @@ class LegoLoamPipeline:
         ):
             self._last_loop_check = self.frame_idx
             self._try_loop_closure()
+        self._mapped_frames += int(np.count_nonzero(mapped))
+        self._maybe_publish_global_map()
+
+    def request_stop(self):
+        """≙ the /initialpose callback (mapOptmization.cpp:437-456): flags the
+        run loop to end so a re-localization session can start."""
+        self._stop_requested = True
+
+    def _maybe_publish_global_map(self):
+        """≙ publishGlobalMap every global_map_every_n_frames mapped frames
+        (mapOptmization.cpp:775-892, signal :1919-1921). Host-side gather;
+        only when cfg.pipeline.publish_global_map."""
+        cfg = self.cfg
+        if not cfg.pipeline.publish_global_map:
+            return
+        if self._mapped_frames < self._next_global_map:
+            return
+        self._next_global_map = (
+            self._mapped_frames + cfg.mapping.global_map_every_n_frames
+        )
+        from .mapproducts import global_map
+
+        center = jax.device_get(self.bstate.t_map)
+        self.latest_global_map = global_map(
+            self.bstate, center,
+            cfg.mapping.global_map_visualization_search_radius, cfg,
+        )
+        self.global_map_count += 1
 
     def run_chunked(self, scans, chunk: int = 16, timestamps=None):
-        """Batch driver over chunks; ragged tail falls back to process_scan."""
+        """Batch driver over chunks; ragged tail falls back to process_scan.
+        Honors request_stop() at chunk boundaries (≙ /initialpose ending the
+        reference's run loop)."""
         T = len(scans)
         s = 0
-        while s + chunk <= T:
+        while s + chunk <= T and not self._stop_requested:
             pts, masks = self._prep_many(scans[s : s + chunk])
             ts = None if timestamps is None else np.asarray(
                 timestamps[s : s + chunk], np.float32
@@ -462,6 +568,8 @@ class LegoLoamPipeline:
             self.process_chunk(pts, masks, ts)
             s += chunk
         for k in range(s, T):
+            if self._stop_requested:
+                break
             self.process_scan(scans[k], None if timestamps is None else timestamps[k])
         self.finalize()
         return {
@@ -512,10 +620,18 @@ class LegoLoamPipeline:
         self.odom_positions = host["odom_t"]
         self.fused_positions = host["fused_t"]
         if n_map:
+            # map_time entries are floats (host path) or device arrays
+            # (staged-chunk path) — flatten in one pass here.
+            times: list = []
+            for t in log["map_time"]:
+                if isinstance(t, float):
+                    times.append(t)
+                else:
+                    times.extend(float(v) for v in jax.device_get(t))
             self.trajectory = {
                 "positions": list(host["map_t"]),
                 "rpys": list(host["map_rpy"]),
-                "times": list(log["map_time"]),
+                "times": times,
             }
             self.diagnostics["iterations"] = [int(v) for v in host["iters"]]
             self.diagnostics["records"] = [
@@ -659,7 +775,7 @@ class LegoLoamPipeline:
             ),
         )
         active = jnp.arange(K) < n_kf
-        if self._mesh is not None:
+        if self._solve_graph_sharded is not None:
             # shard factors over the mesh (pad count to the device multiple)
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -684,8 +800,10 @@ class LegoLoamPipeline:
                 factors,
                 jax.device_put(active, rep),
             )
-            newR = jax.device_put(newR, jax.devices()[0])
-            newt = jax.device_put(newt, jax.devices()[0])
+            # restore the store's own sharding so the chunk runner's input
+            # shardings (and its donation) stay stable across loop closures
+            newR = jax.device_put(newR, self.bstate.kf_R.sharding)
+            newt = jax.device_put(newt, self.bstate.kf_t.sharding)
         else:
             newR, newt = self._solve_graph(
                 self.bstate.kf_R, self.bstate.kf_t, factors, active
@@ -704,8 +822,11 @@ class LegoLoamPipeline:
     # -- batch driver -------------------------------------------------------
 
     def run(self, scans, timestamps=None):
-        """Process a (T, N, 3) scan stack; returns trajectory dict."""
+        """Process a (T, N, 3) scan stack; returns trajectory dict.
+        Honors request_stop() (≙ /initialpose ending the run loop)."""
         for k in range(len(scans)):
+            if self._stop_requested:
+                break
             ts = None if timestamps is None else timestamps[k]
             self.process_scan(scans[k], ts)
         self.finalize()

@@ -41,7 +41,21 @@ def main(argv=None):
     p.add_argument("--checkpoint", help="save final state to this npz")
     p.add_argument("--resume", help="resume from a state npz")
     p.add_argument("--profile", action="store_true")
+    # Re-localization mode (≙ ReMapping/HighDenseMapping launch flags +
+    # /initialpose): localize the stream in a previously saved dense map.
+    p.add_argument("--remap", help="saved map dir (denseCloud.pcd) to "
+                   "re-localize in instead of mapping")
+    # Multi-host entry (jax.distributed): join before building the pipeline
+    # so the mesh spans every host's chips.
+    p.add_argument("--coordinator", help="multi-host coordinator addr:port")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     args = p.parse_args(argv)
+
+    if args.coordinator or args.num_processes:
+        from .launch import init_from_args
+
+        init_from_args(args.coordinator, args.num_processes, args.process_id)
 
     import dataclasses
 
@@ -147,6 +161,36 @@ def main(argv=None):
                 yield render_scan(R, t, cfg, noise=0.01, seed=i), i * 0.1, None, None
         else:
             p.error("one of --kitti/--rosbag/--synthetic required")
+
+    if args.remap:
+        # Localization-only session against the saved dense map
+        # (≙ HighDense re-mapping, publishHighDenseMap.cpp:13-67).
+        import os
+
+        from .mapproducts import load_high_dense_map
+        from .relocalize import localize_scan, map_state_from_cloud
+
+        dense, _ = load_high_dense_map(
+            os.path.join(args.remap, "denseCloud.pcd")
+        )
+        R_cur = np.eye(3, dtype=np.float32)
+        t_cur = np.zeros(3, np.float32)
+        traj = []
+        n = 0
+        t0 = time.perf_counter()
+        submap = map_state_from_cloud(dense, cfg, center=t_cur)
+        for pts, ts, _imu, _odom in scan_stream():
+            R_cur, t_cur, diag = localize_scan(pts, submap, R_cur, t_cur, cfg)
+            traj.append(np.asarray(t_cur))
+            n += 1
+            if args.max_frames and n >= args.max_frames:
+                break
+        dt = time.perf_counter() - t0
+        print(f"localized {n} scans in {dt:.1f} s "
+              f"({n / max(dt, 1e-9):.1f} scans/s)")
+        os.makedirs(args.out, exist_ok=True)
+        np.savetxt(os.path.join(args.out, "relocalized.txt"), np.stack(traj))
+        return
 
     t0 = time.perf_counter()
     n = 0

@@ -28,7 +28,13 @@ def small_cfg():
         max_submap_surf=32768,
         max_keyframes=128,
     )
-    dist = dataclasses.replace(cfg.distributed, cg_iterations=32)
+    # Single-device semantics for speed: the mesh-sharded product path is
+    # covered by test_sharded_pipeline.py and __graft_entry__.dryrun_multichip
+    # (which parity-checks a sharded pipeline chunk against single-device).
+    dist = dataclasses.replace(
+        cfg.distributed, cg_iterations=32,
+        shard_backend=False, use_sharded_posegraph=False,
+    )
     # Fixtures are rigid renders (all points captured at one pose), so the
     # production rel_time warp would inject model error.
     pipe = dataclasses.replace(cfg.pipeline, rigid_scans=True)

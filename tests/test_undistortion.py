@@ -30,6 +30,11 @@ def _small(cfg):
             surrounding_keyframe_search_num=8,
             max_keyframes=32,
         ),
+        # single-device semantics for speed (sharded path covered by
+        # test_sharded_pipeline.py + __graft_entry__.dryrun_multichip)
+        distributed=dataclasses.replace(
+            cfg.distributed, shard_backend=False, use_sharded_posegraph=False
+        ),
     )
 
 

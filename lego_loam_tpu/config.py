@@ -313,6 +313,12 @@ class PipelineConfig:
     odom_frequency: float = 10.0
     # Grid-local voxel packing radius for device DS (meters)
     local_voxel_radius: float = 102.4
+    # Host->device feed quantization step (meters). Point clouds cross the
+    # host link as int16 fixed-point at this resolution (±131 m at 4 mm),
+    # halving feed bytes vs float32; the chunk runner dequantizes on device.
+    # 4 mm is well under the VLP-16's ±30 mm range noise. 0 disables
+    # (float32 feed).
+    feed_quant: float = 0.004
 
 
 @dataclasses.dataclass(frozen=True)

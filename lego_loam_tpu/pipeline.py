@@ -120,6 +120,12 @@ class LegoLoamPipeline:
         # each call — zero steady-state scalar uploads). None = out of sync
         # with self.frame_idx; re-uploaded at the next process_chunk.
         self._idx_dev = None
+        # Single-worker stager thread: jnp.asarray BLOCKS the calling thread
+        # for the full host->device transfer on the relay link, so staging
+        # chunk c+1 from the main thread serializes with chunk c's compute.
+        # A background thread makes the overlap real (GIL released during
+        # the transfer).
+        self._stager = None
 
         self.fstate: OdometryState = init_odometry_state(cfg)
         self.bstate: BackendState = init_backend_state(cfg)
@@ -320,6 +326,8 @@ class LegoLoamPipeline:
         def step(carry, inp):
             fstate, bstate, idx, odom_prev = carry
             pts, mask = inp["pts"], inp["mask"]
+            if jnp.issubdtype(pts.dtype, jnp.integer):
+                pts = pts.astype(jnp.float32) * cfg.pipeline.feed_quant
             # Timestamps ride the feed when the source has real ones
             # (rosbag/KITTI); otherwise derived on device from the frame
             # counter — zero per-chunk scalar uploads.
@@ -403,7 +411,11 @@ class LegoLoamPipeline:
         return run
 
     def _prep_many(self, scans):
-        """Stack raw clouds to fixed-shape (C, max_points, 3) + mask."""
+        """Stack raw clouds to fixed-shape (C, max_points, 3) + mask.
+
+        With cfg.pipeline.feed_quant > 0 the points are returned as int16
+        fixed-point (half the feed bytes over the host link); the chunk
+        runner dequantizes on device."""
         n = self.cfg.laser.max_points
         C = len(scans)
         buf = np.zeros((C, n, 3), np.float32)
@@ -413,6 +425,11 @@ class LegoLoamPipeline:
             finite = np.isfinite(points[:k]).all(axis=1)
             buf[c, :k] = np.nan_to_num(points[:k])
             m[c, :k] = finite
+        q = self.cfg.pipeline.feed_quant
+        if q > 0:
+            buf = np.clip(np.rint(buf * (1.0 / q)), -32767, 32767).astype(
+                np.int16
+            )
         return buf, m
 
     def stage_chunk(self, pts, masks, timestamps=None, imu=None, odom=None):
@@ -445,6 +462,22 @@ class LegoLoamPipeline:
             xs["odom_R"] = jnp.asarray(R)
             xs["odom_t"] = jnp.asarray(t)
         return xs
+
+    def stage_chunk_async(self, pts, masks, timestamps=None, imu=None, odom=None):
+        """stage_chunk from a background thread; returns a Future of the
+        staged xs dict. Call for chunk c+1 right after dispatching chunk c —
+        unlike a main-thread stage_chunk call (which blocks until the
+        transfer completes), this genuinely overlaps the transfer with the
+        device execution."""
+        if self._stager is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._stager = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="lego-stage"
+            )
+        return self._stager.submit(
+            self.stage_chunk, pts, masks, timestamps, imu, odom
+        )
 
     def process_chunk(self, pts, masks=None, timestamps=None, imu=None, odom=None):
         """Process C scans in one device dispatch.
@@ -560,12 +593,28 @@ class LegoLoamPipeline:
         reference's run loop)."""
         T = len(scans)
         s = 0
-        while s + chunk <= T and not self._stop_requested:
-            pts, masks = self._prep_many(scans[s : s + chunk])
+
+        def prep_and_stage(s0):
+            pts, masks = self._prep_many(scans[s0 : s0 + chunk])
             ts = None if timestamps is None else np.asarray(
-                timestamps[s : s + chunk], np.float32
+                timestamps[s0 : s0 + chunk], np.float32
             )
-            self.process_chunk(pts, masks, ts)
+            return self.stage_chunk(pts, masks, ts)
+
+        if self._stager is None and T >= chunk:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._stager = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="lego-stage"
+            )
+        # Pack + upload chunk c+1 in the stager thread while the device runs
+        # chunk c (jnp.asarray blocks its calling thread for the transfer).
+        fut = self._stager.submit(prep_and_stage, 0) if T >= chunk else None
+        while s + chunk <= T and not self._stop_requested:
+            xs = fut.result()
+            if s + 2 * chunk <= T:
+                fut = self._stager.submit(prep_and_stage, s + chunk)
+            self.process_chunk(xs)
             s += chunk
         for k in range(s, T):
             if self._stop_requested:

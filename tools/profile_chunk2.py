@@ -56,13 +56,14 @@ def main():
         jax.block_until_ready(xs["pts"])
         xs_dev.append(xs)
     op = (jnp.eye(3), jnp.zeros(3))
+    idx = jnp.int32(0)
     # one warm call (donation consumes fstate/bstate, returns new ones)
-    fstate, bstate, _, ys = runner(fstate, bstate, jnp.int32(0), xs_dev[0], op)
+    fstate, bstate, idx, op, ys = runner(fstate, bstate, idx, xs_dev[0], op)
     jax.block_until_ready(bstate.t_map)
     t0 = time.perf_counter()
     for c in range(6):
-        fstate, bstate, _, ys = runner(
-            fstate, bstate, jnp.int32(c * chunk), xs_dev[c], op
+        fstate, bstate, idx, op, ys = runner(
+            fstate, bstate, idx, xs_dev[c], op
         )
     jax.block_until_ready(bstate.t_map)
     dtB = (time.perf_counter() - t0) / (6 * chunk) * 1e3

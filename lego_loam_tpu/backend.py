@@ -260,27 +260,41 @@ def backend_step_ds(
     is_kf = (state.n_kf == 0) | moved | bool(m.keyframe_gate_always)
     slot = state.n_kf % K
 
-    def append(s: BackendState) -> BackendState:
-        rel_R, rel_t = se3.relative(s.kf_R[last_idx], s.kf_t[last_idx], R_new, t_new)
-        first = s.n_kf == 0
-        rel_R = jnp.where(first, jnp.eye(3), rel_R)
-        rel_t = jnp.where(first, jnp.zeros(3), rel_t)
-        return s.replace(
-            kf_rel_R=s.kf_rel_R.at[slot].set(rel_R),
-            kf_rel_t=s.kf_rel_t.at[slot].set(rel_t),
-            kf_R=s.kf_R.at[slot].set(R_new),
-            kf_t=s.kf_t.at[slot].set(t_new),
-            kf_time=s.kf_time.at[slot].set(time),
-            kf_corner=s.kf_corner.at[slot].set(
-                c_xyz[:KF_CORNER_CAP].reshape(-1)
-            ),
-            kf_corner_mask=s.kf_corner_mask.at[slot].set(c_m[:KF_CORNER_CAP]),
-            kf_surf=s.kf_surf.at[slot].set(s_xyz[:KF_SURF_CAP].reshape(-1)),
-            kf_surf_mask=s.kf_surf_mask.at[slot].set(s_m[:KF_SURF_CAP]),
-            n_kf=s.n_kf + 1,
-        )
+    # Masked single-row writes instead of lax.cond(append, identity) over the
+    # whole state: the identity branch makes XLA materialize a select over
+    # every store buffer (a full O(K) HBM copy per frame — ~4 ms at the
+    # default 1.37 GB capacity). Writing row `slot` back to itself when the
+    # gate is closed touches one row per array instead.
+    rel_R, rel_t = se3.relative(
+        state.kf_R[last_idx], state.kf_t[last_idx], R_new, t_new
+    )
+    first = state.n_kf == 0
+    rel_R = jnp.where(first, jnp.eye(3), rel_R)
+    rel_t = jnp.where(first, jnp.zeros(3), rel_t)
 
-    state = jax.lax.cond(is_kf, append, lambda s: s, state)
+    def row(new, cur):
+        return jnp.where(is_kf, new, cur)
+
+    state = state.replace(
+        kf_rel_R=state.kf_rel_R.at[slot].set(row(rel_R, state.kf_rel_R[slot])),
+        kf_rel_t=state.kf_rel_t.at[slot].set(row(rel_t, state.kf_rel_t[slot])),
+        kf_R=state.kf_R.at[slot].set(row(R_new, state.kf_R[slot])),
+        kf_t=state.kf_t.at[slot].set(row(t_new, state.kf_t[slot])),
+        kf_time=state.kf_time.at[slot].set(row(time, state.kf_time[slot])),
+        kf_corner=state.kf_corner.at[slot].set(
+            row(c_xyz[:KF_CORNER_CAP].reshape(-1), state.kf_corner[slot])
+        ),
+        kf_corner_mask=state.kf_corner_mask.at[slot].set(
+            row(c_m[:KF_CORNER_CAP], state.kf_corner_mask[slot])
+        ),
+        kf_surf=state.kf_surf.at[slot].set(
+            row(s_xyz[:KF_SURF_CAP].reshape(-1), state.kf_surf[slot])
+        ),
+        kf_surf_mask=state.kf_surf_mask.at[slot].set(
+            row(s_m[:KF_SURF_CAP], state.kf_surf_mask[slot])
+        ),
+        n_kf=state.n_kf + is_kf.astype(state.n_kf.dtype),
+    )
     state = state.replace(
         R_map=R_new, t_map=t_new, R_odom=R_odom, t_odom=t_odom
     )

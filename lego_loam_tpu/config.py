@@ -242,6 +242,18 @@ class MappingConfig:
     loop_time_gap: float = 30.0
     loop_every_n_frames: int = 2
     global_map_every_n_frames: int = 5
+    # Pose-graph noise model. The reference hardcodes chain VARIANCES of
+    # 1e-6 rot / 1e-8 trans and a loop variance equal to the raw ICP fitness
+    # (mapOptmization.cpp:1618-1620, :1078-1081) — ratios under which a loop
+    # factor shifts the chain by ~0.003%: loop closure as committed is
+    # decorative. Here the chain carries the odometry's MEASURED per-frame
+    # uncertainty (~0.2 deg, ~3 cm at 10 Hz) and the loop variance is the
+    # ICP mean-square residual scaled by loop_noise_scale (a converged ICP
+    # pose is good to ~residual/sqrt(N) with N in the thousands, so the raw
+    # fitness overstates the pose variance by orders of magnitude).
+    chain_rot_var: float = 1e-5
+    chain_trans_var: float = 1e-3
+    loop_noise_scale: float = 0.01
 
 
 @dataclasses.dataclass(frozen=True)

@@ -229,8 +229,18 @@ def swept_scan_sequence(poses, cfg, world=None, noise=0.0, seed=0):
     return np.stack(out)
 
 
+def _start_at_identity(poses):
+    """Re-express world poses in the frame of the first pose, so pose 0 is
+    (I, 0) — the SLAM estimator's world frame. Without this, comparing an
+    estimated trajectory against the generator's raw poses measures the
+    arbitrary start offset, not drift."""
+    R0, t0 = poses[0]
+    return [(R0.T @ R, R0.T @ (t - t0)) for R, t in poses]
+
+
 def circle_trajectory(n: int, radius: float = 8.0, step_deg: float = 1.0):
-    """Ground-truth poses driving a circle. Returns list of (R, t)."""
+    """Ground-truth poses driving a circle, pose 0 = identity.
+    Returns list of (R, t)."""
     poses = []
     for i in range(n):
         th = np.deg2rad(step_deg) * i
@@ -239,7 +249,7 @@ def circle_trajectory(n: int, radius: float = 8.0, step_deg: float = 1.0):
         R = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
         t = np.array([radius * np.cos(th), radius * np.sin(th), 0.0])
         poses.append((R, t))
-    return poses
+    return _start_at_identity(poses)
 
 
 def straight_trajectory(n: int, speed: float = 0.1, yaw_rate: float = 0.0):
@@ -285,7 +295,7 @@ def lap_trajectory(
                 poses.append((R, x.copy()))
                 x = x + R @ np.array([speed, 0.0, 0.0])
                 yaw += dyaw
-    return poses
+    return _start_at_identity(poses)
 
 
 def scan_sequence(poses, cfg, world=None, noise=0.0, seed=0):

@@ -91,6 +91,29 @@ def _apply_motion(M_R, M_t, cloud: FeatureCloud):
 # ---------------------------------------------------------------------------
 
 
+def _robust_weight(dist, ok, slope):
+    """Self-annealing residual weights, every iteration.
+
+    The reference weights correspondences by 1 - slope*|d| only from LM
+    iteration 5 (featureAssociation.cpp:1678-1683) — safe there only
+    because its 0.05-damped steps barely move during the unweighted
+    iterations. With exact GN steps, one unweighted iteration lets
+    newly-visible features (matched up to 5 m away at weight 1) yank the
+    pose to a false minimum (measured 44 cm single-frame error on a 9.5
+    deg/frame turn); weighting with a FIXED scale from iteration 0 instead
+    rejects the true correspondences whenever the warm start is poor
+    (identity start = 0.8 m true residuals). So the rejection scale
+    anneals with the solve itself: weights fall off relative to the
+    current mean |residual| (clipped at 1 m, floored at the reference's
+    1/slope scale). Far from the optimum all plausible matches count;
+    near it the falloff reduces to the reference's fixed-slope weights."""
+    a = jnp.abs(dist)
+    n = jnp.maximum(jnp.sum(ok), 1)
+    mean_r = jnp.sum(jnp.where(ok, jnp.minimum(a, 1.0), 0.0)) / n
+    scale = jnp.maximum(1.0, slope * 2.5 * mean_r)
+    return 1.0 - (slope / scale) * a
+
+
 def corner_search(q_xyz, query: FeatureCloud, target: FeatureCloud, cfg):
     """NN + nearest-on-adjacent-ring support pair for point-to-line.
 
@@ -138,8 +161,9 @@ def corner_eval(q_xyz, fit, late, cfg):
     gx = (uy * hz - uz * hy) * ui
     gy = (uz * hx - ux * hz) * ui
     gz = (ux * hy - uy * hx) * ui
-    s = jnp.where(late, 1.0 - o.weight_slope_corner * jnp.abs(dist), 1.0)
+    s = _robust_weight(dist, ok, o.weight_slope_corner)
     w = jnp.where(ok & (s > o.weight_min) & (dist > 1e-9), s, 0.0)
+    del late  # superseded by the adaptive scale; kept in the signature
     return (gx, gy, gz), dist, w
 
 
@@ -183,16 +207,9 @@ def surf_eval(q_xyz, fit, late, cfg):
     gx, gy, gz, d_off, ok = fit
     qx, qy, qz = q_xyz[:, 0], q_xyz[:, 1], q_xyz[:, 2]
     pd = gx * qx + gy * qy + gz * qz + d_off
-    qn = jnp.sqrt(qx * qx + qy * qy + qz * qz)
-    s = jnp.where(
-        late,
-        1.0
-        - o.weight_slope_surf
-        * jnp.abs(pd)
-        / jnp.sqrt(jnp.sqrt(jnp.maximum(qn, 1e-9))),
-        1.0,
-    )
+    s = _robust_weight(pd, ok, o.weight_slope_surf)
     w = jnp.where(ok & (s > o.weight_min), s, 0.0)
+    del late  # superseded by the adaptive scale; kept in the signature
     return (gx, gy, gz), pd, w
 
 

@@ -799,13 +799,22 @@ class LegoLoamPipeline:
             if nl
             else np.zeros((0, 3), np.float32)
         )
+        m = self.cfg.mapping
         chain_info = np.tile(
-            np.array([[1e6] * 3 + [1e8] * 3], np.float32), (K - 1, 1)
+            np.array(
+                [[1.0 / m.chain_rot_var] * 3 + [1.0 / m.chain_trans_var] * 3],
+                np.float32,
+            ),
+            (K - 1, 1),
         )
         loop_info = (
             np.stack(
                 [
-                    np.full((6,), 1.0 / max(f.fitness, 1e-3), np.float32)
+                    np.full(
+                        (6,),
+                        1.0 / max(f.fitness * m.loop_noise_scale, 1e-6),
+                        np.float32,
+                    )
                     for f in live
                 ]
             )
@@ -884,6 +893,18 @@ class LegoLoamPipeline:
             "odom_positions": self.odom_positions,
             "fused_positions": self.fused_positions,
         }
+
+    def keyframe_trajectory(self):
+        """Corrected keyframe poses (R (A,3,3), t (A,3), times (A,)), oldest
+        -> newest. This is what the reference's pose.txt records
+        (saveMapService, mapOptmization.cpp:399-411): keyframe poses AFTER
+        loop-closure corrections — unlike the per-frame logs, which keep the
+        pose each frame had when it was processed."""
+        slots = self.bstate.ordered_slots()
+        R, t, times = jax.device_get(
+            (self.bstate.kf_R, self.bstate.kf_t, self.bstate.kf_time)
+        )
+        return R[slots], t[slots], times[slots]
 
     # -- persistence --------------------------------------------------------
 

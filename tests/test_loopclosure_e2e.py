@@ -39,7 +39,15 @@ def test_short_circle_closes_loop_chunked():
     cfg = dataclasses.replace(
         cfg,
         mapping=dataclasses.replace(
-            cfg.mapping, loop_time_gap=1.5, loop_every_n_frames=1
+            cfg.mapping,
+            loop_time_gap=1.5,
+            loop_every_n_frames=1,
+            # 0.5 is the VLP-16 yaml value, shipped with loop closure OFF;
+            # the fork's active loop profile (VLP-32c, loam_config.yaml:
+            # 69-135) gates at 1.5. Sparse 0.2 m-DS ring clouds converge to
+            # ~0.5 mean-square point-to-point residual even when perfectly
+            # aligned, so 0.5 rejects true loops.
+            history_keyframe_fitness_score=1.5,
         ),
     )
     # 40 frames at 9.5 deg/frame = full 5 m circle + 2-frame overlap
@@ -54,9 +62,15 @@ def test_short_circle_closes_loop_chunked():
     gt = np.stack([t for _, t in poses])
     est = np.asarray(pipe.trajectory["positions"])
     assert np.isfinite(est).all()
-    ate = float(np.sqrt(np.mean(np.sum((est - gt) ** 2, axis=1))))
-    assert ate < 0.6, f"circle ATE {ate:.3f}"
     assert len(pipe.loop_factors) >= 1, "no loop closure fired"
+    # ATE on the CORRECTED keyframe trajectory (what the reference's
+    # pose.txt records after correctPoses) — the per-frame log keeps
+    # each pose as processed, before the loop factor rewrote history.
+    _R, kt, _times = pipe.keyframe_trajectory()
+    ate_kf = float(np.sqrt(np.mean(np.sum((kt - gt) ** 2, axis=1))))
+    ate_raw = float(np.sqrt(np.mean(np.sum((est - gt) ** 2, axis=1))))
+    assert ate_kf < 0.6, f"corrected keyframe ATE {ate_kf:.3f} (raw {ate_raw:.3f})"
+    assert ate_kf < ate_raw, "loop closure should reduce ATE"
 
 
 @pytest.mark.skipif(

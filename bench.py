@@ -59,8 +59,11 @@ def main():
     ]
 
     for c in range(n_warm_chunks):
-        pipe.process_chunk(*prepped[c])
-    jax.block_until_ready(pipe.bstate.t_map)
+        pipe.process_chunk(prepped[c])
+    # device_get, not block_until_ready: the latter has been observed to
+    # return before execution completes on the relay-attached TPU, which
+    # would silently shrink the timed region.
+    jax.device_get(pipe.bstate.t_map)
 
     # Double-buffered feed: chunk c+1's host->device transfer runs in the
     # pipeline's stager thread while chunk c executes on device (a
@@ -68,13 +71,13 @@ def main():
     # overlap). The transfers stay inside the timed region; only their
     # latency is hidden, as any real deployment would.
     t0 = time.perf_counter()
-    nxt = pipe.stage_chunk_async(*prepped[n_warm_chunks])
+    nxt = pipe.stage_chunk_async(prepped[n_warm_chunks])
     for c in range(n_warm_chunks, n_warm_chunks + n_meas_chunks):
         cur = nxt.result()
         if c + 1 < n_warm_chunks + n_meas_chunks:
-            nxt = pipe.stage_chunk_async(*prepped[c + 1])
+            nxt = pipe.stage_chunk_async(prepped[c + 1])
         pipe.process_chunk(cur)
-    jax.block_until_ready(pipe.bstate.t_map)
+    jax.device_get(pipe.bstate.t_map)
     dt = time.perf_counter() - t0
 
     n_meas = n_meas_chunks * chunk

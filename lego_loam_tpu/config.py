@@ -141,11 +141,17 @@ class OdometryConfig:
     """Two-step scan-to-scan solver (featureAssociation.cpp:1846-2535)."""
 
     max_iterations: int = 12
-    # Refresh cadence: denser than the reference's iterCount%5 re-search
-    # (featureAssociation.cpp:1588, :1722) because full-GN steps converge in
-    # fewer iterations; 5 was tried and measured SLOWER end-to-end (45 vs 75
-    # scans/s) — later refreshes make the early-exit fire later.
+    # Fixed refresh cadence is superseded by motion-triggered refresh (the
+    # search reruns when the pose moved > refresh_rot_deg / refresh_trans_m
+    # since the last one); kept for reference-parity discussion
+    # (featureAssociation.cpp:1588 re-searches every 5th LM iteration).
     search_every: int = 3
+    # Motion thresholds that invalidate cached correspondences. 0.2 m voxel
+    # spacing in the target clouds means support sets are stable well past
+    # these; a constant-velocity warm start keeps most frames at exactly
+    # one search per stage.
+    refresh_rot_deg: float = 0.5
+    refresh_trans_m: float = 0.02
     # Convergence: deltaR < 0.1 deg, deltaT < 0.1 cm (featureAssociation.cpp:2006)
     rot_converge_deg: float = 0.1
     trans_converge_cm: float = 0.1
@@ -331,6 +337,13 @@ class PipelineConfig:
     # 4 mm is well under the VLP-16's ±30 mm range noise. 0 disables
     # (float32 feed).
     feed_quant: float = 0.004
+    # Chunk-feed encoding. "range": the host packs each scan into the
+    # (H, W) uint16 range image (+ int8 azimuth residuals) and the device
+    # reconstructs xyz analytically — 3x fewer bytes than int16 xyz, no
+    # device-side projection scatter, and quantization error is radial-only
+    # (no cartesian lattice snapping). "points": int16 xyz feed + on-device
+    # projection (needed when per-point attrs beyond geometry must ride).
+    feed_mode: str = "range"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -34,7 +34,8 @@ from .math import se3
 from .posegraph import Factors, factor_jacobians, factor_residuals
 from .ops.knn import pairwise_sqdist
 
-_BIG = jnp.float32(1e30)
+_BIG = np.float32(1e30)  # np, not jnp: a module-level jnp constant initializes
+# the XLA backend at import, breaking jax.distributed.initialize in children
 
 
 def init_distributed(

@@ -70,12 +70,18 @@ def _with_shadow(surf: FeatureCloud, cfg: LegoLoamConfig) -> FeatureCloud:
 def stage1(points, mask, cfg: LegoLoamConfig, key=None):
     """Projection + ground + segmentation (≙ ImageProjection::cloudHandler)."""
     grid = project_point_cloud(points, mask, cfg)
+    return stage1_from_grid(grid, cfg, key)
+
+
+def stage1_from_grid(grid, cfg: LegoLoamConfig, key=None):
+    """Ground + segmentation on a pre-built ScanGrid (range-image feed: the
+    host packed the projection, grid_from_range_image reconstructed it)."""
     grid = apply_ground(grid, cfg, key)
     return segment_cloud(grid, cfg)
 
 
 def frontend_prepass(
-    points, mask, cfg: LegoLoamConfig, key=None, imu_track=None,
+    points, mask, cfg: LegoLoamConfig, key=None, imu_track=None, grid=None,
 ):
     """Per-frame-independent front-end work: projection, ground removal,
     segmentation, feature extraction (≙ the ImageProjection node plus the
@@ -84,8 +90,13 @@ def frontend_prepass(
     (16, 1800) grid ops amortize their fixed per-op cost over the batch.
 
     imu_track: optional imu.ImuTrack for scan undistortion
-    (cfg.pipeline.use_imu_undistortion). Returns (grid, seg, feats)."""
-    grid, seg = stage1(points, mask, cfg, key)
+    (cfg.pipeline.use_imu_undistortion). grid: optional pre-built ScanGrid
+    (range-image feed) — points/mask are then ignored.
+    Returns (grid, seg, feats)."""
+    if grid is not None:
+        grid, seg = stage1_from_grid(grid, cfg, key)
+    else:
+        grid, seg = stage1(points, mask, cfg, key)
     if imu_track is not None and cfg.pipeline.use_imu_undistortion:
         # Undistort after projection (the reference also projects the raw
         # cloud first and warps inside FeatureAssociation, adjustDistortion).

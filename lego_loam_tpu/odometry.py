@@ -37,7 +37,7 @@ from .math import se3
 from .ops.knn import pairwise_sqdist, masked_nn_where
 from .types import FeatureCloud, ScanFeatures
 
-_BIG = jnp.float32(1e30)
+_BIG = np.float32(1e30)  # np: module-level jnp constants init the backend at import
 
 
 def _apply_motion(M_R, M_t, cloud: FeatureCloud):
@@ -273,21 +273,37 @@ def _solve_stage(
     Q = query.xyz.shape[0]
 
     def cond(state):
-        it, _, _, _, done = state
+        it = state[0]
+        done = state[4]
         return (it < o.max_iterations) & ~done
 
     def body(state):
-        it, R, t, fit, _ = state
+        it, R, t, fit, _, R_ref, t_ref = state
         late = it >= 5
         q_xyz = _apply_motion(R, t, query)
+
+        # Motion-triggered refresh: the search (a (Q, T) distance matrix +
+        # masked argmin sweeps — the stage's dominant HBM cost) reruns only
+        # when the pose has moved enough since the last refresh to change
+        # the support sets. With a constant-velocity warm start most frames
+        # refresh exactly once; a fixed it%search_every cadence re-ran it
+        # 3-4x per frame on support sets that hadn't changed. (Same idea as
+        # the mapping stage's search_every >= its iteration budget.)
+        # trace(R_refᵀ R) = 1 + 2 cos(angle between them)
+        tr = jnp.trace(R_ref.T @ R)
+        thr = 1.0 + 2.0 * jnp.cos(o.refresh_rot_deg * jnp.pi / 180.0)
+        moved = (tr < thr) | (
+            jnp.linalg.norm(t - t_ref) > o.refresh_trans_m
+        )
+        need = (it == 0) | moved
 
         def refresh(_):
             res = search_fn(q_xyz, query, target, cfg)
             sup = [target.xyz[res[k]] for k in range(n_sup)]
-            return fit_fn(*sup, res[-1])
+            return fit_fn(*sup, res[-1]), R, t
 
-        fit = jax.lax.cond(
-            (it % o.search_every) == 0, refresh, lambda f: f, fit
+        fit, R_ref, t_ref = jax.lax.cond(
+            need, refresh, lambda _: (fit, R_ref, t_ref), None
         )
         n, d, w = eval_fn(q_xyz, fit, late, cfg)
         delta, rot_deg, trans_cm = _gn_step(
@@ -296,13 +312,15 @@ def _solve_stage(
         dR, dt = se3.exp_se3(delta)
         R_new, t_new = se3.compose(dR, dt, R, t)
         done = (rot_deg < o.rot_converge_deg) & (trans_cm < o.trans_converge_cm)
-        return it + 1, R_new, t_new, fit, done
+        return it + 1, R_new, t_new, fit, done, R_ref, t_ref
 
     fit0 = fit_fn(
         *([jnp.zeros((Q, 3))] * n_sup), jnp.zeros((Q,), bool)
     )
-    init = (jnp.int32(0), M_R, M_t, fit0, jnp.bool_(False))
-    _, R, t, _, _ = jax.lax.while_loop(cond, body, init)
+    init = (
+        jnp.int32(0), M_R, M_t, fit0, jnp.bool_(False), M_R, M_t
+    )
+    _, R, t, _, _, _, _ = jax.lax.while_loop(cond, body, init)
     return R, t
 
 

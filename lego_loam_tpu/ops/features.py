@@ -11,6 +11,7 @@ same local-extremum features, without the greedy tail).
 from __future__ import annotations
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..config import LegoLoamConfig
@@ -18,7 +19,7 @@ from ..types import FeatureCloud, ScanFeatures, SegmentedScan
 from .dbscan import dbscan_edge_filter
 from .voxel import voxel_downsample_masked
 
-_BIG = jnp.float32(1e9)
+_BIG = np.float32(1e9)  # np: module-level jnp constants init the backend at import
 
 
 def curvature_ours(seg: SegmentedScan, cfg: LegoLoamConfig):

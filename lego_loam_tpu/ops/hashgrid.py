@@ -22,9 +22,10 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
-_BIG = jnp.float32(1e30)
+_BIG = np.float32(1e30)  # np: module-level jnp constants init the backend at import
 _P1, _P2, _P3 = 73856093, 19349669, 83492791  # classic spatial-hash primes
 
 

@@ -9,9 +9,10 @@ tree on TPU; ring-window constraints become masks on the same matrix.
 from __future__ import annotations
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
-_BIG = jnp.float32(1e30)
+_BIG = np.float32(1e30)  # np: module-level jnp constants init the backend at import
 
 
 def pairwise_sqdist(q, t):

@@ -103,3 +103,108 @@ def project_point_cloud(points, mask, cfg: LegoLoamConfig) -> ScanGrid:
         label=jnp.full((H, W), -1, jnp.int32),
         rel_time=jnp.where(valid, rel, 0.0),
     )
+
+
+# ---------------------------------------------------------------------------
+# Range-image feed: the host packs each scan into a (H, W) uint16 range grid
+# (+ int8 azimuth residuals + per-row beam elevations); the device
+# reconstructs xyz analytically. 3x fewer feed bytes than int16 xyz and no
+# device-side scatter — the grid IS the projection. Quantization is radial
+# only (feed_quant meters), so surfaces don't snap to a cartesian lattice
+# the way whole-point quantization makes them.
+# ---------------------------------------------------------------------------
+
+
+def host_pack_range_image(points, cfg: LegoLoamConfig):
+    """numpy: (N, 3) raw cloud -> (rimg uint16 (H,W), az_resid int8 (H,W),
+    row_elev float32 (H,)). Mirrors project_point_cloud exactly (same
+    row/col formulas, min-range tie-break); NaN rows = misses."""
+    import numpy as np
+
+    laser = cfg.laser
+    H, W = laser.num_vertical_scans, laser.num_horizontal_scans
+    q = cfg.pipeline.feed_quant or 0.004
+
+    pts = np.asarray(points, np.float32)
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    with np.errstate(invalid="ignore"):
+        rng = np.sqrt(x * x + y * y + z * z)
+        ok = np.isfinite(rng) & (rng > 0.1)
+        elev = np.arcsin(np.where(ok, z / np.maximum(rng, 1e-12), 0.0))
+
+    if laser.use_vlp32c:
+        quant = laser.vlp32c_row_quant
+        bins = np.floor((elev + laser.ang_bottom) / quant).astype(np.int64)
+        ok = ok & (bins >= 0)
+        ubins = np.unique(bins[ok])
+        lut = {b: i for i, b in enumerate(ubins)}
+        row = np.array([lut.get(b, -1) for b in bins], np.int64)
+        row_elev = ((ubins.astype(np.float32) + 0.5) * quant - laser.ang_bottom)
+        row_elev = np.pad(
+            row_elev.astype(np.float32), (0, max(0, H - len(row_elev)))
+        )[:H]
+    else:
+        row = np.round((elev + laser.ang_bottom) / laser.ang_res_y).astype(
+            np.int64
+        )
+        row_elev = (
+            np.arange(H, dtype=np.float32) * laser.ang_res_y - laser.ang_bottom
+        )
+    ok = ok & (row >= 0) & (row < H)
+
+    az = np.arctan2(np.nan_to_num(x), np.nan_to_num(y))
+    col = (
+        -np.round((az - np.pi / 2.0) / laser.ang_res_x).astype(np.int64)
+        + W // 2
+    )
+    col = np.where(col >= W, col - W, col)
+    ok = ok & (col >= 0) & (col < W)
+
+    flat = np.where(ok, row * W + col, H * W)
+    order = np.lexsort((np.where(ok, rng, np.inf), flat))
+    f_s = flat[order]
+    first = np.concatenate([[True], f_s[1:] != f_s[:-1]]) & (f_s < H * W)
+    win = order[first]
+
+    rimg = np.zeros((H * W,), np.uint16)
+    rimg[flat[win]] = np.clip(np.rint(rng[win] / q), 1, 65535).astype(
+        np.uint16
+    )
+    # azimuth residual vs the column-center ray, in half-bin units
+    az_c = (W // 2 - col[win]) * laser.ang_res_x + np.pi / 2.0
+    resid = np.arctan2(np.sin(az[win] - az_c), np.cos(az[win] - az_c))
+    azr = np.zeros((H * W,), np.int8)
+    azr[flat[win]] = np.clip(
+        np.rint(resid / (laser.ang_res_x / 2.0) * 127.0), -127, 127
+    ).astype(np.int8)
+    return rimg.reshape(H, W), azr.reshape(H, W), row_elev
+
+
+def grid_from_range_image(rimg, az_resid, row_elev, cfg: LegoLoamConfig) -> ScanGrid:
+    """Device: reconstruct a ScanGrid from the packed range image."""
+    laser = cfg.laser
+    H, W = rimg.shape
+    q = cfg.pipeline.feed_quant or 0.004
+
+    valid = rimg > 0
+    rng = rimg.astype(jnp.float32) * q
+    col = jnp.arange(W, dtype=jnp.float32)[None, :]
+    az = (
+        (W // 2 - col) * laser.ang_res_x
+        + jnp.pi / 2.0
+        + az_resid.astype(jnp.float32) * (laser.ang_res_x / 2.0 / 127.0)
+    )
+    elev = row_elev[:, None]
+    hor = rng * jnp.cos(elev)
+    xyz = jnp.stack(
+        [hor * jnp.sin(az), hor * jnp.cos(az), rng * jnp.sin(elev)], axis=-1
+    )
+    rel = jnp.broadcast_to((col / float(W)), (H, W))
+    return ScanGrid(
+        xyz=jnp.where(valid[..., None], xyz, 0.0),
+        range=jnp.where(valid, rng, jnp.inf),
+        valid=valid,
+        ground=jnp.full((H, W), -1, jnp.int8),
+        label=jnp.full((H, W), -1, jnp.int32),
+        rel_time=jnp.where(valid, rel, 0.0),
+    )

@@ -325,9 +325,18 @@ class LegoLoamPipeline:
 
         def step(carry, inp):
             fstate, bstate, idx, odom_prev = carry
-            pts, mask = inp["pts"], inp["mask"]
-            if jnp.issubdtype(pts.dtype, jnp.integer):
-                pts = pts.astype(jnp.float32) * cfg.pipeline.feed_quant
+            grid_in = None
+            pts = mask = None
+            if "rimg" in inp:
+                from .ops.projection import grid_from_range_image
+
+                grid_in = grid_from_range_image(
+                    inp["rimg"], inp["azr"], inp["rowe"], cfg
+                )
+            else:
+                pts, mask = inp["pts"], inp["mask"]
+                if jnp.issubdtype(pts.dtype, jnp.integer):
+                    pts = pts.astype(jnp.float32) * cfg.pipeline.feed_quant
             # Timestamps ride the feed when the source has real ones
             # (rosbag/KITTI); otherwise derived on device from the frame
             # counter — zero per-chunk scalar uploads.
@@ -357,7 +366,7 @@ class LegoLoamPipeline:
                 odom_prev = (inp["odom_R"], inp["odom_t"])
 
             _grid, seg, feats = frontend_prepass(
-                pts, mask, cfg, key, imu_track=imu_track
+                pts, mask, cfg, key, imu_track=imu_track, grid=grid_in
             )
             ds = downsample_current_scan(
                 feats, seg.outlier_xyz, seg.outlier_mask, cfg
@@ -411,13 +420,28 @@ class LegoLoamPipeline:
         return run
 
     def _prep_many(self, scans):
-        """Stack raw clouds to fixed-shape (C, max_points, 3) + mask.
+        """Pack raw clouds into the chunk feed dict (see stage_chunk).
 
-        With cfg.pipeline.feed_quant > 0 the points are returned as int16
-        fixed-point (half the feed bytes over the host link); the chunk
-        runner dequantizes on device."""
-        n = self.cfg.laser.max_points
+        feed_mode "range": each scan becomes a (H, W) uint16 range image +
+        int8 azimuth residuals + per-row beam elevations — 3x fewer bytes
+        than int16 xyz and the device-side projection scatter disappears.
+        feed_mode "points": fixed-shape (C, max_points, 3) int16 (or f32
+        when feed_quant == 0) + mask; the chunk runner projects on device."""
         C = len(scans)
+        if self.cfg.pipeline.feed_mode == "range":
+            from .ops.projection import host_pack_range_image
+
+            H = self.cfg.laser.num_vertical_scans
+            W = self.cfg.laser.num_horizontal_scans
+            rimg = np.zeros((C, H, W), np.uint16)
+            azr = np.zeros((C, H, W), np.int8)
+            rowe = np.zeros((C, H), np.float32)
+            for c, points in enumerate(scans):
+                rimg[c], azr[c], rowe[c] = host_pack_range_image(
+                    points, self.cfg
+                )
+            return {"rimg": rimg, "azr": azr, "rowe": rowe}
+        n = self.cfg.laser.max_points
         buf = np.zeros((C, n, 3), np.float32)
         m = np.zeros((C, n), bool)
         for c, points in enumerate(scans):
@@ -430,17 +454,23 @@ class LegoLoamPipeline:
             buf = np.clip(np.rint(buf * (1.0 / q)), -32767, 32767).astype(
                 np.int16
             )
-        return buf, m
+        return {"pts": buf, "mask": m}
 
-    def stage_chunk(self, pts, masks, timestamps=None, imu=None, odom=None):
+    def stage_chunk(self, pts, masks=None, timestamps=None, imu=None, odom=None):
         """Move one chunk's inputs to the device WITHOUT processing them.
 
-        Returns the staged xs dict for process_chunk. Call this for chunk
-        c+1 right after dispatching chunk c: the transfer then overlaps the
-        device execution (double buffering) instead of serializing with it."""
+        pts: a prep dict from _prep_many ({"rimg","azr","rowe"} or
+        {"pts","mask"}) or a raw (C, N, 3) array with masks. Returns the
+        staged xs dict for process_chunk. Call this for chunk c+1 right
+        after dispatching chunk c: the transfer then overlaps the device
+        execution (double buffering) instead of serializing with it."""
         cfg = self.cfg
-        C = int(pts.shape[0])
-        xs = {"pts": jnp.asarray(pts), "mask": jnp.asarray(masks)}
+        if isinstance(pts, dict):
+            C = int(next(iter(pts.values())).shape[0])
+            xs = {k: jnp.asarray(v) for k, v in pts.items()}
+        else:
+            C = int(pts.shape[0])
+            xs = {"pts": jnp.asarray(pts), "mask": jnp.asarray(masks)}
         if timestamps is not None:
             xs["ts"] = jnp.asarray(timestamps, jnp.float32)
         if self._use_imu:
@@ -463,7 +493,7 @@ class LegoLoamPipeline:
             xs["odom_t"] = jnp.asarray(t)
         return xs
 
-    def stage_chunk_async(self, pts, masks, timestamps=None, imu=None, odom=None):
+    def stage_chunk_async(self, pts, masks=None, timestamps=None, imu=None, odom=None):
         """stage_chunk from a background thread; returns a Future of the
         staged xs dict. Call for chunk c+1 right after dispatching chunk c —
         unlike a main-thread stage_chunk call (which blocks until the
@@ -497,12 +527,13 @@ class LegoLoamPipeline:
         cfg = self.cfg
         if self._chunk_runner is None:
             self._chunk_runner = self._build_chunk_runner()
-        if isinstance(pts, dict):
-            xs = pts
-            C = int(xs["pts"].shape[0])
+        if isinstance(pts, dict) and isinstance(
+            next(iter(pts.values())), jax.Array
+        ):
+            xs = pts  # already staged (stage_chunk / stage_chunk_async)
         else:
             xs = self.stage_chunk(pts, masks, timestamps, imu, odom)
-            C = int(pts.shape[0])
+        C = int(xs["rimg" if "rimg" in xs else "pts"].shape[0])
         self._finalized = False
         f0 = self.frame_idx
         if self._use_odom:
@@ -595,11 +626,11 @@ class LegoLoamPipeline:
         s = 0
 
         def prep_and_stage(s0):
-            pts, masks = self._prep_many(scans[s0 : s0 + chunk])
+            prep = self._prep_many(scans[s0 : s0 + chunk])
             ts = None if timestamps is None else np.asarray(
                 timestamps[s0 : s0 + chunk], np.float32
             )
-            return self.stage_chunk(pts, masks, ts)
+            return self.stage_chunk(prep, None, ts)
 
         if self._stager is None and T >= chunk:
             from concurrent.futures import ThreadPoolExecutor

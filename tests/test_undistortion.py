@@ -136,8 +136,8 @@ def test_chunked_runner_with_imu_and_odom_prior():
     odt = np.stack([t for _, t in poses]).astype(np.float32)
 
     pipe = LegoLoamPipeline(cfg)
-    pts, masks = pipe._prep_many(scans)
-    pipe.process_chunk(pts, masks, imu=imu, odom=(odR, odt))
+    prep = pipe._prep_many(scans)
+    pipe.process_chunk(prep, imu=imu, odom=(odR, odt))
     pipe.finalize()
     gt = np.stack([t for _, t in poses])
     ate = ate_rmse(np.asarray(pipe.trajectory["positions"]), gt, align=False)

@@ -73,8 +73,12 @@ def main():
     ]
 
     t0 = time.perf_counter()
-    for c, (p, m) in enumerate(prepped):
-        pipe.process_chunk(p, m)
+    nxt = pipe.stage_chunk_async(prepped[0])
+    for c in range(len(prepped)):
+        cur = nxt.result()
+        if c + 1 < len(prepped):
+            nxt = pipe.stage_chunk_async(prepped[c + 1])
+        pipe.process_chunk(cur)
         if (c + 1) % 10 == 0:
             done = (c + 1) * C
             print(
@@ -83,17 +87,25 @@ def main():
                 f"({done / (time.perf_counter() - t0):.1f} scans/s)",
                 flush=True,
             )
-    jax.block_until_ready(pipe.bstate.t_map)
-    dt = time.perf_counter() - t0
+    jax.device_get(pipe.bstate.t_map)  # true sync (block_until_ready lies
+    dt = time.perf_counter() - t0      # on the relay transport)
     n_run = len(prepped) * C
     pipe.finalize()
 
     gt = np.stack([t for _, t in poses])[:n_run]
     est = np.asarray(pipe.trajectory["positions"])
     odom = np.asarray(pipe.odom_positions)
+    # Pre-closure ATE: the per-frame log keeps each pose as processed
+    # (before loop factors rewrote history). Post-closure: the corrected
+    # keyframe store (what the reference's pose.txt records).
     ate_map = ate_rmse(est, gt, align=False)
     ate_odom = ate_rmse(odom, gt, align=False)
-    finite = bool(np.isfinite(est).all())
+    _kR, kt, ktimes = pipe.keyframe_trajectory()
+    kf_frames = np.clip(
+        np.rint(ktimes / cfg.laser.scan_period).astype(int), 0, n_run - 1
+    )
+    ate_corrected = ate_rmse(kt, gt[kf_frames], align=False)
+    finite = bool(np.isfinite(est).all()) and bool(np.isfinite(kt).all())
 
     pipe.save_artifacts(args.out)
     from lego_loam_tpu.mapproducts import save_map
@@ -107,6 +119,7 @@ def main():
         "loop_closures": len(pipe.loop_factors),
         "ate_map_m": round(float(ate_map), 4),
         "ate_odom_only_m": round(float(ate_odom), 4),
+        "ate_corrected_kf_m": round(float(ate_corrected), 4),
         "finite": finite,
         "laps": args.laps,
     }

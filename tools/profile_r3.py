@@ -46,15 +46,15 @@ def main():
 
     t0 = time.perf_counter()
     for c in range(n_warm):
-        pipe.process_chunk(*prepped[c])
+        pipe.process_chunk(prepped[c])
     sync(pipe)
     print(f"warmup+compile: {time.perf_counter()-t0:.1f}s", flush=True)
 
     # B. staging cost, hot (before the big run so allocator state is clean)
     for rep in range(3):
         t0 = time.perf_counter()
-        staged = [pipe.stage_chunk(*prepped[c]) for c in range(n_warm, n_warm + n_meas)]
-        jax.device_get(staged[-1]["mask"][0][:1])
+        staged = [pipe.stage_chunk(prepped[c]) for c in range(n_warm, n_warm + n_meas)]
+        jax.device_get(next(iter(staged[-1].values()))[0].ravel()[:1])
         dt = time.perf_counter() - t0
         print(
             f"B staging only rep{rep}: {dt*1e3/ (n_meas*chunk):.2f} ms/frame"
@@ -77,14 +77,14 @@ def main():
     # C. full bench pattern (fresh pipeline, async stager)
     pipe2 = LegoLoamPipeline(cfg)
     for c in range(n_warm):
-        pipe2.process_chunk(*prepped[c])
+        pipe2.process_chunk(prepped[c])
     sync(pipe2)
     t0 = time.perf_counter()
-    nxt = pipe2.stage_chunk_async(*prepped[n_warm])
+    nxt = pipe2.stage_chunk_async(prepped[n_warm])
     for c in range(n_warm, n_warm + n_meas):
         cur = nxt.result()
         if c + 1 < n_warm + n_meas:
-            nxt = pipe2.stage_chunk_async(*prepped[c + 1])
+            nxt = pipe2.stage_chunk_async(prepped[c + 1])
         pipe2.process_chunk(cur)
     sync(pipe2)
     dt = time.perf_counter() - t0

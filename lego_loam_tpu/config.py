@@ -140,7 +140,7 @@ class FeatureConfig:
 class OdometryConfig:
     """Two-step scan-to-scan solver (featureAssociation.cpp:1846-2535)."""
 
-    max_iterations: int = 12
+    max_iterations: int = 20
     # Fixed refresh cadence is superseded by motion-triggered refresh (the
     # search reruns when the pose moved > refresh_rot_deg / refresh_trans_m
     # since the last one); kept for reference-parity discussion
@@ -155,10 +155,25 @@ class OdometryConfig:
     # Convergence: deltaR < 0.1 deg, deltaT < 0.1 cm (featureAssociation.cpp:2006)
     rot_converge_deg: float = 0.1
     trans_converge_cm: float = 0.1
-    # Full Gauss-Newton steps. (The reference damps by 0.05 via
-    # `matB = -0.05 * d2`, featureAssociation.cpp:1951, and compensates with
-    # up to 100 iterations; exact steps converge in a handful.)
-    step_scale: float = 1.0
+    # Step damping. The reference damps by 0.05 via `matB = -0.05 * d2`
+    # (featureAssociation.cpp:1951) and compensates with up to 100
+    # iterations. Exact (1.0) steps interact unstably with eager
+    # correspondence refresh: the solver jumps to the cached objective's
+    # minimum, the refreshed supports define a new minimum further out, and
+    # the (search, minimize) walk has no descent guarantee — measured
+    # oscillation up to +-1.8 m/frame on a building campus. 0.7 with the
+    # per-iteration clamp below keeps each move inside the current
+    # correspondence basin.
+    step_scale: float = 0.7
+    # Per-iteration trust region (meters / degrees).
+    step_clamp_trans: float = 0.06
+    step_clamp_rot_deg: float = 1.5
+    # Stage-level trust region around the constant-velocity warm start: at
+    # 10 Hz the true motion never deviates from it by more than vehicle
+    # accel limits; a larger correction is a correspondence failure, so the
+    # total stage correction is scaled back to this cap.
+    stage_cap_trans: float = 0.25
+    stage_cap_rot_deg: float = 8.0
     eigen_threshold: float = 10.0  # degeneracy gate (featureAssociation.cpp:1974)
     min_correspondences: int = 10
     # Huber-like correspondence weights (featureAssociation.cpp:1678-1683)
@@ -232,6 +247,20 @@ class MappingConfig:
     # out (mapOptmization.cpp:1539-1545). We default it ON (the functional
     # system) and expose the ablation.
     enable_map_update: bool = True
+    # Divergence armor (no reference equivalent — the reference's GN barely
+    # moves the pose per iteration because its update is the ablation switch
+    # above; with the update live, one bad solve on a degenerate submap can
+    # launch the pose, the bad pose assembles a bad submap, and the store
+    # self-confirms — measured 1e22 ATE on a 2,096-frame campus course).
+    # Per-iteration GN trust region:
+    step_clamp_rot_deg: float = 2.0
+    step_clamp_trans: float = 0.3
+    # Whole-solve rejection gate: if the mapping correction moves the pose
+    # further than this from the odometry prior, the solve is rejected and
+    # the prior is kept (the reference's structure implicitly bounds a frame
+    # to mm-scale corrections; a meters-scale jump is always divergence).
+    reject_rot_deg: float = 10.0
+    reject_trans: float = 1.0
     # Fixed capacities
     max_corner_scan: int = 1024
     max_surf_scan: int = 4096
@@ -247,6 +276,19 @@ class MappingConfig:
     icp_max_corr_dist: float = 100.0
     loop_time_gap: float = 30.0
     loop_every_n_frames: int = 2
+    # Fixed capacity for accepted loop factors: the pose-graph factor set is
+    # padded to chain + max_loop_factors so accepting a closure never changes
+    # the jitted solver's shapes (one compile per run). Oldest factors are
+    # dropped beyond the cap.
+    max_loop_factors: int = 128
+    # Cooldowns bounding ICP/graph-solve cost while driving along a revisit
+    # (where a candidate is inside the radius at EVERY check): frames to
+    # skip after an ICP attempt / after an accepted closure. The reference
+    # attempts every 2nd frame and leans on iSAM2's incrementality
+    # (mapOptmization.cpp:1915-1917); a relinearized whole-graph solve wants
+    # the duty cycle bounded instead.
+    loop_attempt_cooldown: int = 10
+    loop_accept_cooldown: int = 50
     global_map_every_n_frames: int = 5
     # Pose-graph noise model. The reference hardcodes chain VARIANCES of
     # 1e-6 rot / 1e-8 trans and a loop variance equal to the raw ICP fitness

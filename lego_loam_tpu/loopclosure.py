@@ -87,22 +87,30 @@ def icp_point2point(
     return ICPResult(R=R, t=t, fitness=fit, converged=fit < m.history_keyframe_fitness_score, iterations=it)
 
 
-def detect_loop_candidate(positions, times, n_active, cur_idx, cfg: LegoLoamConfig):
+def detect_loop_candidate(
+    positions, times, n_active, cur_idx, cfg: LegoLoamConfig,
+    return_dist: bool = False,
+):
     """Host-side candidate pick (numpy semantics; callable with numpy arrays).
 
     ≙ detectLoopClosure: nearest keyframe within
     history_keyframe_search_radius whose timestamp is > loop_time_gap older
-    (mapOptmization.cpp:906-935). Returns index or -1."""
+    (mapOptmization.cpp:906-935). Returns index or -1; with return_dist also
+    the nearest time-eligible candidate's distance (inf if none) for the
+    per-check diagnostic trail."""
     import numpy as np
 
     m = cfg.mapping
     if n_active < 2:
-        return -1
+        return (-1, float("inf")) if return_dist else -1
     pos = positions[:n_active]
     cur = positions[cur_idx]
     d = np.linalg.norm(pos - cur[None, :], axis=1)
     old = (times[cur_idx] - times[:n_active]) > m.loop_time_gap
-    cand = np.where((d < m.history_keyframe_search_radius) & old)[0]
+    eligible = np.where(old)[0]
+    nearest = float(d[eligible].min()) if len(eligible) else float("inf")
+    cand = eligible[d[eligible] < m.history_keyframe_search_radius]
     if len(cand) == 0:
-        return -1
-    return int(cand[np.argmin(d[cand])])
+        return (-1, nearest) if return_dist else -1
+    best = int(cand[np.argmin(d[cand])])
+    return (best, nearest) if return_dist else best

@@ -67,6 +67,8 @@ class MapDiag(NamedTuple):
     degenerate: jax.Array
     n_corner: jax.Array
     n_surf: jax.Array
+    # Whole-solve divergence rejection fired (pose fell back to the prior).
+    rejected: jax.Array
 
 
 def assemble_submap(
@@ -306,20 +308,34 @@ def scan_to_map(
         w_all = jnp.concatenate([wc, ws])
         r_abs = jnp.abs(jnp.concatenate([dc * wc, ds_ * ws]))
 
-        # Degeneracy projection computed once at iteration 0 and reused —
-        # exactly the reference's matP handling (mapOptmization.cpp:
-        # 1506-1535). Subsequent iterations use a plain regularized solve.
-        def proj0(_):
+        # Degeneracy projection recomputed at every correspondence refresh
+        # (the reference computes matP once per solve, mapOptmization.cpp:
+        # 1506-1535 — but its pose barely moves; with live updates the
+        # iteration-0 projection can certify directions the refreshed
+        # correspondence set no longer constrains).
+        def proj(_):
             evals, evecs = jnp.linalg.eigh(H)
             keep = (evals >= m.eigen_threshold).astype(H.dtype)
             P = evecs @ (evecs.T * keep[:, None])
             return P, evals[0]
 
         P_proj, min_lam = jax.lax.cond(
-            it == 0, proj0, lambda _: (P_proj, min_lam), None
+            (it % m.search_every) == 0, proj, lambda _: (P_proj, min_lam), None
         )
         step = jnp.linalg.solve(H + 1e-6 * jnp.eye(6), g)
         delta = -(P_proj @ step) * m.step_size
+
+        # Per-iteration trust region: a GN step larger than this is never a
+        # refinement — clamp rotation and translation norms independently.
+        rot_n = jnp.linalg.norm(delta[:3])
+        trans_n = jnp.linalg.norm(delta[3:])
+        rot_cap = m.step_clamp_rot_deg * jnp.pi / 180.0
+        r_scale = jnp.minimum(1.0, rot_cap / jnp.maximum(rot_n, 1e-12))
+        t_scale = jnp.minimum(
+            1.0, m.step_clamp_trans / jnp.maximum(trans_n, 1e-12)
+        )
+        scale = jnp.minimum(r_scale, t_scale)
+        delta = delta * scale
 
         n_sel = jnp.sum(w_all > 0)
         delta = jnp.where((n_sel >= m.min_sel) & enough, delta, 0.0)
@@ -354,6 +370,20 @@ def scan_to_map(
         cond, body, init
     )
 
+    # Whole-solve divergence gate: the map refinement of one 10 Hz frame is
+    # a small correction on top of the odometry prior. A solve that landed
+    # meters/tens-of-degrees away is divergence (degenerate submap, bad
+    # correspondences) — keep the prior instead so garbage never enters the
+    # keyframe store / submap cache downstream.
+    dR_corr, dt_corr = se3.relative(R0, t0, R, t)
+    corr_rot = jnp.linalg.norm(se3.log_so3(dR_corr))
+    corr_trans = jnp.linalg.norm(dt_corr)
+    rejected = (corr_rot > m.reject_rot_deg * jnp.pi / 180.0) | (
+        corr_trans > m.reject_trans
+    )
+    R = jnp.where(rejected, R0, R)
+    t = jnp.where(rejected, t0, t)
+
     diag = MapDiag(
         iterations=it,
         min_lambda=min_lambda,
@@ -361,6 +391,7 @@ def scan_to_map(
         degenerate=min_lambda < m.eigen_threshold,
         n_corner=jnp.sum(corner_mask),
         n_surf=jnp.sum(surf_mask),
+        rejected=rejected,
     )
     return R, t, diag
 

@@ -224,11 +224,26 @@ def _gn_step(q_xyz, rel_time, n, d, w, dof_idx, cfg: LegoLoamConfig):
     dof_idx: static python tuple naming the 3 active twist components.
     n is an (N,) component triple. Returns the 6-twist increment and the
     (deg, cm) step norms for the convergence test
-    (≙ featureAssociation.cpp:2002-2010)."""
+    (≙ featureAssociation.cpp:2002-2010).
+
+    The Jacobian is deliberately UNSCALED by the per-point sweep time s even
+    though the residual is evaluated through the s-interpolated warp — the
+    reference does the same (its ar*/at* coefficient expressions in
+    calculateTransformation*, featureAssociation.cpp:1896-1950, differentiate
+    the full transform while TransformToStart applies the s-scaled one).
+    Exact-GN s-scaling was tried and is strictly worse on TPU: J ∝ s shrinks
+    the Hessian eigenvalues by E[s^2] ~ 1/3, dropping feature-rich scenes
+    below the reference-calibrated degeneracy gate (eigen_threshold = 10
+    zeroed the corner stage's translation DOFs entirely — measured 0.11 m/
+    frame forward blindness on a 0.12 m/frame drive), and near-s=0 points
+    carry ~zero information either way. With unscaled J the step solves
+    J d = -r where r ~ s * (true delta): a contraction with ratio ~1-E[s],
+    geometric convergence to the same fixed point (residuals still vanish at
+    the true motion), and the gate semantics match the reference's."""
     o = cfg.odometry
     gx, gy, gz = n
     qx, qy, qz = q_xyz[:, 0], q_xyz[:, 1], q_xyz[:, 2]
-    s_ = rel_time
+    s_ = jnp.ones_like(rel_time)
     cols6 = (
         (qy * gz - qz * gy) * s_ * w,
         (qz * gx - qx * gz) * s_ * w,
@@ -254,6 +269,18 @@ def _gn_step(q_xyz, rel_time, n, d, w, dof_idx, cfg: LegoLoamConfig):
     delta = jnp.zeros((6,))
     for k, i in enumerate(dof_idx):  # static unroll
         delta = delta.at[i].set(delta3[k])
+
+    # Per-iteration trust region: one GN move never exceeds the clamp, so a
+    # bad correspondence set cannot fling the pose out of its basin before
+    # the next refresh corrects it.
+    rot_n = jnp.linalg.norm(delta[:3])
+    trans_n = jnp.linalg.norm(delta[3:])
+    rot_cap = o.step_clamp_rot_deg * jnp.pi / 180.0
+    scale = jnp.minimum(
+        jnp.minimum(1.0, rot_cap / jnp.maximum(rot_n, 1e-12)),
+        jnp.minimum(1.0, o.step_clamp_trans / jnp.maximum(trans_n, 1e-12)),
+    )
+    delta = delta * scale
     rot_deg = jnp.linalg.norm(delta[:3]) * 180.0 / jnp.pi
     trans_cm = jnp.linalg.norm(delta[3:]) * 100.0
     return delta, rot_deg, trans_cm
@@ -321,7 +348,20 @@ def _solve_stage(
         jnp.int32(0), M_R, M_t, fit0, jnp.bool_(False), M_R, M_t
     )
     _, R, t, _, _, _, _ = jax.lax.while_loop(cond, body, init)
-    return R, t
+
+    # Stage-level trust region around the warm start (see OdometryConfig.
+    # stage_cap_*): scale the total correction twist back inside the cap.
+    dR, dt = se3.relative(M_R, M_t, R, t)
+    xi = se3.log_se3(dR, dt)
+    rot_n = jnp.linalg.norm(xi[:3])
+    trans_n = jnp.linalg.norm(xi[3:])
+    cap_r = o.stage_cap_rot_deg * jnp.pi / 180.0
+    s_cap = jnp.minimum(
+        jnp.minimum(1.0, cap_r / jnp.maximum(rot_n, 1e-12)),
+        jnp.minimum(1.0, o.stage_cap_trans / jnp.maximum(trans_n, 1e-12)),
+    )
+    dR_c, dt_c = se3.exp_se3(xi * s_cap)
+    return se3.compose(M_R, M_t, dR_c, dt_c)
 
 
 SURF_DOFS = (True, True, False, False, False, True)  # roll, pitch, tz

@@ -268,16 +268,20 @@ def extract_features(seg: SegmentedScan, cfg: LegoLoamConfig) -> ScanFeatures:
     else:
         sharp = _gather_rows(seg, sharp_pick, f.max_corner_sharp)
 
-    # Less-flat: everything not picked as an edge, voxel-downsampled 0.2 m
+    # Less-flat: everything not picked as an edge, voxel-downsampled 0.2 m.
+    # ring/rel_time ride the voxel reduction as pooled attribute channels —
+    # indexing the pre-DS rows with post-DS positions would scramble the
+    # per-point sweep times the odometry warp depends on.
     less_flat_src = seg.valid & ~edge_pick
     lf = _gather_rows(seg, less_flat_src, f.max_surf_less_flat)
-    lf_xyz, lf_mask = voxel_downsample_masked(
-        lf.xyz, lf.mask, f.less_flat_leaf, cfg.pipeline.local_voxel_radius
+    lf_xyz, lf_mask, (lf_rel, lf_ring) = voxel_downsample_masked(
+        lf.xyz, lf.mask, f.less_flat_leaf, cfg.pipeline.local_voxel_radius,
+        extras=[lf.rel_time, lf.ring.astype(jnp.float32)],
     )
     less_flat = FeatureCloud(
         xyz=lf_xyz,
-        ring=jnp.where(lf_mask, lf.ring, -1),
-        rel_time=jnp.where(lf_mask, lf.rel_time, 0.0),
+        ring=jnp.where(lf_mask, jnp.rint(lf_ring).astype(jnp.int32), -1),
+        rel_time=jnp.where(lf_mask, lf_rel, 0.0),
         mask=lf_mask,
     )
 

@@ -48,20 +48,28 @@ def _seg_sum_to_first(vals, last):
     return jnp.flip(out, axis=1)
 
 
-def voxel_downsample_masked(xyz, mask, leaf: float, radius: float, origin=None):
+def voxel_downsample_masked(
+    xyz, mask, leaf: float, radius: float, origin=None, extras=None
+):
     """(N,3), (N,) -> (N,3), (N,): voxel-centroid cloud, one point per
     occupied voxel, packed to the front of the output arrays.
 
     Scatter/gather-free: coordinates ride the key sort as extra lax.sort
     operands (a separate argsort + 3-column gather measured 4x slower on
     TPU), run centroids come from a segmented associative scan, and the
-    final compaction is a second carrying sort on the run-first flag."""
+    final compaction is a second carrying sort on the run-first flag.
+
+    extras: optional sequence of (N,) float arrays pooled by per-voxel mean
+    and returned (packed like the points) as a list after the mask — used to
+    carry per-point attributes (rel_time, ring) through the reduction so
+    attribute rows stay aligned with their pooled points."""
     N = xyz.shape[0]
+    extras = list(extras) if extras is not None else []
     key, inb = voxel_keys(xyz, leaf, radius, origin)
     key = jnp.where(mask & inb, key, jnp.int32(0x7FFFFFFF))
 
-    key_s, xs, ys, zs = jax.lax.sort(
-        (key, xyz[:, 0], xyz[:, 1], xyz[:, 2]), num_keys=1
+    key_s, xs, ys, zs, *ext_s = jax.lax.sort(
+        (key, xyz[:, 0], xyz[:, 1], xyz[:, 2], *extras), num_keys=1
     )
     valid_s = key_s != jnp.int32(0x7FFFFFFF)
 
@@ -70,19 +78,25 @@ def voxel_downsample_masked(xyz, mask, leaf: float, radius: float, origin=None):
     ) & valid_s
     last = jnp.concatenate([key_s[:-1] != key_s[1:], jnp.array([True])])
 
-    vals = jnp.stack([xs, ys, zs, valid_s.astype(jnp.float32)])
+    vals = jnp.stack([xs, ys, zs, valid_s.astype(jnp.float32), *ext_s])
     totals = _seg_sum_to_first(vals, last)
     cnt = jnp.maximum(totals[3], 1.0)
     cx, cy, cz = totals[0] / cnt, totals[1] / cnt, totals[2] / cnt
+    ext_means = [totals[4 + i] / cnt for i in range(len(extras))]
 
     # Compact run-firsts to the front, preserving key (spatial) order.
     pack_key = jnp.where(first, key_s, jnp.int32(0x7FFFFFFF))
-    _, ox, oy, oz = jax.lax.sort((pack_key, cx, cy, cz), num_keys=1)
+    _, ox, oy, oz, *oext = jax.lax.sort(
+        (pack_key, cx, cy, cz, *ext_means), num_keys=1
+    )
 
     n_vox = jnp.sum(first.astype(jnp.int32))
     out_mask = jnp.arange(N) < n_vox
     out = jnp.stack([ox, oy, oz], axis=1)
-    return jnp.where(out_mask[:, None], out, 0.0), out_mask
+    out = jnp.where(out_mask[:, None], out, 0.0)
+    if extras:
+        return out, out_mask, [jnp.where(out_mask, e, 0.0) for e in oext]
+    return out, out_mask
 
 
 def voxel_downsample_concat(clouds, masks, leaf: float, radius: float, cap: int, origin=None):

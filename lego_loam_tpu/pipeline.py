@@ -138,6 +138,12 @@ class LegoLoamPipeline:
 
             self.bstate = shard_backend_state(self._mesh, self.bstate)
         self.loop_factors: list[LoopFactor] = []
+        # Deferred loop-closure snapshot (see _try_loop_closure) + per-check
+        # diagnostics (nearest-candidate distance), so "0 closures" in a run
+        # artifact is explainable.
+        self._loop_pending = None
+        self.loop_diag: list[dict] = []
+        self._loop_cooldown_until = 0
         self.frame_idx = 0
         # Device-array logs (materialized lazily in finalize()).
         self._dev_log = {
@@ -149,6 +155,14 @@ class LegoLoamPipeline:
             "map_time": [],
         }
         self.diagnostics = {"mapping_ms": [], "iterations": [], "records": []}
+        # Amortized per-frame timing for the chunked path (fills mapt.txt,
+        # ≙ mapOptmization.cpp:413-434): wall time between successive chunk
+        # dispatches (the donated state serializes them against device
+        # completion) divided by the chunk's mapped frames. The first
+        # inter-chunk gap includes compile and is dropped.
+        self._chunk_t_prev = None
+        self._chunk_mapped_prev = 0
+        self._chunks_timed = 0
         self.trajectory = {"positions": [], "rpys": [], "times": []}
         self._finalized = False
         self._last_loop_check = -(10 ** 9)
@@ -394,7 +408,7 @@ class LegoLoamPipeline:
                     z = jnp.float32(0)
                     return bs, MapDiag(
                         jnp.int32(0), z, z, jnp.bool_(False),
-                        jnp.int32(0), jnp.int32(0),
+                        jnp.int32(0), jnp.int32(0), jnp.bool_(False),
                     )
 
                 bstate, diag = jax.lax.cond(
@@ -553,6 +567,15 @@ class LegoLoamPipeline:
             timestamps = (np.arange(f0, f0 + C) * cfg.laser.scan_period).astype(
                 np.float32
             )
+        now = _time.perf_counter()
+        if self._chunk_t_prev is not None and self._chunk_mapped_prev:
+            self._chunks_timed += 1
+            if self._chunks_timed > 1:  # first gap carries compile time
+                per = (now - self._chunk_t_prev) * 1e3 / self._chunk_mapped_prev
+                self.diagnostics["mapping_ms"].extend(
+                    [per] * self._chunk_mapped_prev
+                )
+        self._chunk_t_prev = now
         self.fstate, self.bstate, self._idx_dev, _odom_prev, ys = (
             self._chunk_runner(
                 self.fstate, self.bstate, self._idx_dev, xs, odom_prev
@@ -589,7 +612,8 @@ class LegoLoamPipeline:
         ):
             self._last_loop_check = self.frame_idx
             self._try_loop_closure()
-        self._mapped_frames += int(np.count_nonzero(mapped))
+        self._chunk_mapped_prev = int(np.count_nonzero(mapped))
+        self._mapped_frames += self._chunk_mapped_prev
         self._maybe_publish_global_map()
 
     def request_stop(self):
@@ -695,6 +719,9 @@ class LegoLoamPipeline:
             stacked["cf_mean"] = cat(
                 [d.cf_mean for d in log["diag"]], 0, (0,)
             )
+            stacked["rejected"] = cat(
+                [d.rejected.astype(jnp.int32) for d in log["diag"]], 0, (0,)
+            )
         host = jax.device_get(stacked)
 
         self.odom_positions = host["odom_t"]
@@ -714,11 +741,13 @@ class LegoLoamPipeline:
                 "times": times,
             }
             self.diagnostics["iterations"] = [int(v) for v in host["iters"]]
+            self.diagnostics["rejected_frames"] = int(host["rejected"].sum())
             self.diagnostics["records"] = [
                 {
                     "iterations": int(host["iters"][k]),
                     "min_lambda": float(host["min_lambda"][k]),
                     "cf_mean": float(host["cf_mean"][k]),
+                    "rejected": bool(host["rejected"][k]),
                     "frame": k,
                 }
                 for k in range(n_map)
@@ -730,26 +759,54 @@ class LegoLoamPipeline:
     def _try_loop_closure(self):
         """≙ performLoopClosure (mapOptmization.cpp:983-1094) + correctPoses.
 
+        Deferred detection: each check SNAPSHOTS the device keyframe arrays
+        (kf_t / kf_time / n_kf) without reading them, and evaluates the
+        snapshot taken at the PREVIOUS check — by then the producing chunk
+        has long finished, so jax.device_get returns without draining the
+        dispatch queue (the per-chunk full-pipeline sync this replaces cost
+        ~38x throughput on the campus run). One check of extra latency is
+        immaterial: the reference's loop thread is asynchronous by design
+        (mapOptmization.cpp:317-328).
+
         All indices below are *logical* keyframe ids (monotone append order);
-        the device ring store is addressed through ordered_slots()."""
+        the device ring store is addressed through slot = id % K."""
         cfg = self.cfg
-        n_kf = int(self.bstate.n_kf)
-        slots = self.bstate.ordered_slots()  # oldest -> newest
-        A = len(slots)
+        snap = (self.bstate.kf_t, self.bstate.kf_time, self.bstate.n_kf)
+        pend, self._loop_pending = self._loop_pending, snap
+        if pend is None:
+            return
+        kf_t, kf_time, n_kf = jax.device_get(pend)
+        n_kf = int(n_kf)
+        K = kf_t.shape[0]
+        A = min(n_kf, K)
         if A < 3:
             return
-        positions = jax.device_get(self.bstate.kf_t)[slots]
-        times = jax.device_get(self.bstate.kf_time)[slots]
+        start = (n_kf - A) % K if K else 0
+        slots = (start + np.arange(A)) % K  # oldest -> newest
+        positions = kf_t[slots]
+        times = kf_time[slots]
         cur = A - 1
-        cand = detect_loop_candidate(positions, times, A, cur, cfg)
+        cand, cand_dist = detect_loop_candidate(
+            positions, times, A, cur, cfg, return_dist=True
+        )
+        self.loop_diag.append(
+            {"n_kf": n_kf, "cand": cand, "dist": float(cand_dist)}
+        )
         if cand < 0:
             return
+        if self.frame_idx < self._loop_cooldown_until:
+            return
+        self._loop_cooldown_until = (
+            self.frame_idx + cfg.mapping.loop_attempt_cooldown
+        )
 
-        # history submap: ±history_keyframe_search_num/2 keyframes around cand
+        # history submap: a FIXED-width window of history_keyframe_search_num
+        # keyframes around cand (clamped into range; duplicates at the clamp
+        # are harmless) — variable-width windows recompiled the jitted ICP
+        # per candidate.
         h = cfg.mapping.history_keyframe_search_num // 2
-        lo = max(0, cand - h)
-        hi = min(A, cand + h + 1)
-        idx = jnp.asarray(slots[lo:hi])
+        win = np.clip(cand - h + np.arange(2 * h + 1), 0, A - 1)
+        idx = jnp.asarray(slots[win])
         cur_slot = int(slots[cur])
         cand_slot = int(slots[cand])
 
@@ -790,6 +847,9 @@ class LegoLoamPipeline:
                 fitness=float(res.fitness),
             )
         )
+        self._loop_cooldown_until = (
+            self.frame_idx + cfg.mapping.loop_accept_cooldown
+        )
         self._optimize_graph()
 
     def _optimize_graph(self):
@@ -816,21 +876,25 @@ class LegoLoamPipeline:
         rel_R = self.bstate.kf_rel_R[jnp.asarray(cj)]
         rel_t = self.bstate.kf_rel_t[jnp.asarray(cj)]
 
-        live = [f for f in self.loop_factors if f.i >= base and f.j >= base]
-        nl = len(live)
-        li = np.array([slots[f.i - base] for f in live], np.int32)
-        lj = np.array([slots[f.j - base] for f in live], np.int32)
-        lR = (
-            np.stack([f.R for f in live]).astype(np.float32)
-            if nl
-            else np.zeros((0, 3, 3), np.float32)
-        )
-        lt = (
-            np.stack([f.t for f in live]).astype(np.float32)
-            if nl
-            else np.zeros((0, 3), np.float32)
-        )
         m = self.cfg.mapping
+        # Loop factors live in a FIXED-capacity padded block (chain K-1 +
+        # max_loop_factors): accepting a closure never changes the jitted
+        # solver's shapes. Oldest factors beyond the cap are dropped.
+        cap = m.max_loop_factors
+        live = [f for f in self.loop_factors if f.i >= base and f.j >= base]
+        live = live[-cap:]
+        nl = len(live)
+        li = np.zeros((cap,), np.int32)
+        lj = np.zeros((cap,), np.int32)
+        lR = np.tile(np.eye(3, dtype=np.float32), (cap, 1, 1))
+        lt = np.zeros((cap, 3), np.float32)
+        loop_info = np.zeros((cap, 6), np.float32)
+        for k, f in enumerate(live):
+            li[k] = slots[f.i - base]
+            lj[k] = slots[f.j - base]
+            lR[k] = f.R
+            lt[k] = f.t
+            loop_info[k] = 1.0 / max(f.fitness * m.loop_noise_scale, 1e-6)
         chain_info = np.tile(
             np.array(
                 [[1.0 / m.chain_rot_var] * 3 + [1.0 / m.chain_trans_var] * 3],
@@ -838,21 +902,9 @@ class LegoLoamPipeline:
             ),
             (K - 1, 1),
         )
-        loop_info = (
-            np.stack(
-                [
-                    np.full(
-                        (6,),
-                        1.0 / max(f.fitness * m.loop_noise_scale, 1e-6),
-                        np.float32,
-                    )
-                    for f in live
-                ]
-            )
-            if nl
-            else np.zeros((0, 6), np.float32)
-        )
 
+        lmask = np.zeros((cap,), bool)
+        lmask[:nl] = True
         factors = Factors(
             i=jnp.concatenate([jnp.asarray(ci), jnp.asarray(li)]),
             j=jnp.concatenate([jnp.asarray(cj), jnp.asarray(lj)]),
@@ -860,7 +912,7 @@ class LegoLoamPipeline:
             t=jnp.concatenate([rel_t, jnp.asarray(lt)]),
             info=jnp.asarray(np.concatenate([chain_info, loop_info])),
             mask=jnp.concatenate(
-                [jnp.asarray(cmask), jnp.ones((nl,), bool)]
+                [jnp.asarray(cmask), jnp.asarray(lmask)]
             ),
         )
         active = jnp.arange(K) < n_kf

@@ -3,11 +3,13 @@ closure enabled (≙ BASELINE.json config 4 / the Stevens 20K-scan workload,
 /root/reference/README.md:108-111), sized for the single attached chip.
 
 Runs the full flagship path (chunked device-resident runner, loop closure
-on), then writes the reference artifact set plus CAMPUS_RUN.json with:
-completion, frame count, keyframes, loop-closure count, scans/s over the
-whole run, odometry-only drift vs post-closure ATE.
+on) over a building-dominated campus world, then writes the reference
+artifact set plus CAMPUS_RUN.json with: completion, frame count, keyframes,
+loop-closure count, steady-state scans/s (first chunk's compile excluded),
+odometry-only drift vs map ATE vs post-closure keyframe ATE, and an explicit
+`failed` divergence flag (ate_map must beat ate_odom and stay finite).
 
-    python tools/campus_run.py [--frames 2100] [--laps 3] [--out out_campus]
+    python tools/campus_run.py [--laps 3] [--out out_campus]
 """
 
 import argparse
@@ -29,6 +31,7 @@ def main():
     ap.add_argument("--chunk", type=int, default=16)
     ap.add_argument("--out", default="out_campus")
     ap.add_argument("--max-keyframes", type=int, default=4096)
+    ap.add_argument("--no-loop", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -38,7 +41,9 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     from lego_loam_tpu.config import vlp16
-    from lego_loam_tpu.io.synthetic import lap_trajectory, render_scan_swept
+    from lego_loam_tpu.io.synthetic import (
+        campus_world, lap_trajectory, render_scan_swept,
+    )
     from lego_loam_tpu.pipeline import LegoLoamPipeline
     from lego_loam_tpu.utils.metrics import ate_rmse
 
@@ -47,12 +52,13 @@ def main():
         cfg,
         mapping=dataclasses.replace(
             cfg.mapping,
-            enable_loop_closure=True,
+            enable_loop_closure=not args.no_loop,
             max_keyframes=args.max_keyframes,
         ),
     )
 
     poses = lap_trajectory(args.laps, args.straight, args.turn)
+    world = campus_world(poses)
     n = len(poses)
     print(f"rendering {n} swept scans ...", flush=True)
     t0 = time.perf_counter()
@@ -60,7 +66,7 @@ def main():
     for i in range(n):
         p0 = poses[i - 1] if i > 0 else poses[i]
         scans.append(
-            render_scan_swept(p0, poses[i], cfg, noise=0.01, seed=100 + i)
+            render_scan_swept(p0, poses[i], cfg, world, noise=0.01, seed=100 + i)
         )
     print(f"rendered in {time.perf_counter() - t0:.1f}s", flush=True)
 
@@ -72,24 +78,30 @@ def main():
         pipe._prep_many(scans[s:s + C]) for s in range(0, n - n % C, C)
     ]
 
-    t0 = time.perf_counter()
+    t_start = time.perf_counter()
+    t_warm = None  # set after the first chunk completes (compile excluded)
     nxt = pipe.stage_chunk_async(prepped[0])
     for c in range(len(prepped)):
         cur = nxt.result()
         if c + 1 < len(prepped):
             nxt = pipe.stage_chunk_async(prepped[c + 1])
         pipe.process_chunk(cur)
+        if c == 0:
+            jax.device_get(pipe.bstate.t_map)
+            t_warm = time.perf_counter()
         if (c + 1) % 10 == 0:
             done = (c + 1) * C
             print(
                 f"frame {done}/{n} kf={int(pipe.bstate.n_kf)} "
                 f"loops={len(pipe.loop_factors)} "
-                f"({done / (time.perf_counter() - t0):.1f} scans/s)",
+                f"({(done - C) / (time.perf_counter() - t_warm):.1f} scans/s)",
                 flush=True,
             )
     jax.device_get(pipe.bstate.t_map)  # true sync (block_until_ready lies
-    dt = time.perf_counter() - t0      # on the relay transport)
+    t_end = time.perf_counter()        # on the relay transport)
     n_run = len(prepped) * C
+    steady = (n_run - C) / (t_end - t_warm)
+    total = n_run / (t_end - t_start)
     pipe.finalize()
 
     gt = np.stack([t for _, t in poses])[:n_run]
@@ -106,6 +118,9 @@ def main():
     )
     ate_corrected = ate_rmse(kt, gt[kf_frames], align=False)
     finite = bool(np.isfinite(est).all()) and bool(np.isfinite(kt).all())
+    # Explicit divergence detection: a working mapping back-end must beat
+    # raw odometry; anything else is a loud failure, not a normal artifact.
+    failed = (not finite) or not (ate_map < max(ate_odom, 1.0))
 
     pipe.save_artifacts(args.out)
     from lego_loam_tpu.mapproducts import save_map
@@ -114,13 +129,16 @@ def main():
 
     result = {
         "frames": n_run,
-        "scans_per_sec": round(n_run / dt, 2),
+        "scans_per_sec": round(steady, 2),
+        "scans_per_sec_incl_compile": round(total, 2),
         "keyframes_total": int(pipe.bstate.n_kf),
         "loop_closures": len(pipe.loop_factors),
+        "rejected_frames": pipe.diagnostics.get("rejected_frames", 0),
         "ate_map_m": round(float(ate_map), 4),
         "ate_odom_only_m": round(float(ate_odom), 4),
         "ate_corrected_kf_m": round(float(ate_corrected), 4),
         "finite": finite,
+        "failed": failed,
         "laps": args.laps,
     }
     print(json.dumps(result))

@@ -170,13 +170,36 @@ def downsample_current_scan(features: ScanFeatures, outlier_xyz, outlier_mask, c
 
 
 def _select_keyframes(state: BackendState, center, cfg: LegoLoamConfig):
-    """Nearest K active keyframes within the search radius."""
+    """Submap keyframe selection (≙ extractSurroundingKeyFrames,
+    mapOptmization.cpp:1096-1232).
+
+    Loop-closure mode: the surrounding_keyframe_search_num MOST-RECENT
+    keyframes (the reference's loop-closure branch) — after a lap, a
+    radius search mixes current-lap keyframes with drifted previous-lap
+    ones and the double-imaged submap tears the solver between the two
+    copies; temporal locality keeps the submap self-consistent and leaves
+    global consistency to the pose graph.
+    Otherwise: nearest active keyframes within the search radius."""
     m = cfg.mapping
     K = state.kf_t.shape[0]
-    active = jnp.arange(K) < state.n_kf  # all-true once the ring is full
+    sel = min(m.surrounding_keyframe_search_num, K)
+    # Feedback damper: anchor to keyframes at least `lag` appends old (see
+    # MappingConfig.submap_recency_lag); disabled while the store is young.
+    lag = jnp.where(
+        state.n_kf > 2 * m.submap_recency_lag + 5, m.submap_recency_lag, 0
+    )
+    newest = state.n_kf - 1 - lag
+    if m.enable_loop_closure:
+        # slots of the sel most recent appends older than the lag
+        recent = (newest - jnp.arange(sel)) % K
+        valid = jnp.arange(sel) <= newest
+        return recent, valid
+    # Slot age = appends since the slot's last write; excludes the lag-newest
+    # slots correctly even after ring wrap.
+    age = (state.n_kf - 1 - jnp.arange(K)) % K
+    active = (jnp.arange(K) < state.n_kf) & (age >= lag)
     d = jnp.linalg.norm(state.kf_t - center[None, :], axis=1)
     d = jnp.where(active & (d < m.surrounding_keyframe_search_radius), d, jnp.inf)
-    sel = min(m.surrounding_keyframe_search_num, K)
     neg, idx = jax.lax.top_k(-d, sel)
     valid = jnp.isfinite(-neg)
     return idx, valid

@@ -134,6 +134,15 @@ class FeatureConfig:
     # column ground keep bounds it at ~2.3k worst case).
     max_surf_flat: int = 2048
     max_surf_less_flat: int = 8192
+    # Ground-only slice capacity within max_surf_less_flat (the remainder is
+    # the structure slice); see ScanFeatures.surf_ground. Clamped to at most
+    # half of max_surf_less_flat so shrunken test configs keep a structure
+    # slice.
+    max_surf_ground: int = 4096
+
+    @property
+    def surf_ground_cap(self) -> int:
+        return min(self.max_surf_ground, self.max_surf_less_flat // 2)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -174,6 +183,13 @@ class OdometryConfig:
     # total stage correction is scaled back to this cap.
     stage_cap_trans: float = 0.25
     stage_cap_rot_deg: float = 8.0
+    # Acceleration trust region on the solved per-frame SPEED: |t| is kept
+    # within +-accel_cap of the previous frame's speed (a 10 Hz ground
+    # vehicle changes speed < 0.05 m/frame^2 = 5 m/s^2). Per-frame noise
+    # makes |t| chi-biased UPWARD (E|v+eps| > |v|), and the mapping prior
+    # integrates that inflated speed — measured +40% map speed runaway.
+    # 0 disables.
+    accel_cap: float = 0.03
     eigen_threshold: float = 10.0  # degeneracy gate (featureAssociation.cpp:1974)
     min_correspondences: int = 10
     # Huber-like correspondence weights (featureAssociation.cpp:1678-1683)
@@ -182,6 +198,24 @@ class OdometryConfig:
     weight_min: float = 0.1
     # Adjacent-ring window for line/plane tripods (featureAssociation.cpp:1601)
     ring_window: float = 2.5
+    # Surf-stage plane-normal gate: query flats are ground picks by
+    # construction ("Ours" extraction takes flats from ground only,
+    # featureAssociation.cpp:1219-1224), but the less-flat TARGET cloud also
+    # contains walls — a support tripod mixing a wall point tilts the fitted
+    # plane and biases pitch (measured -0.05 deg/frame deterministic at
+    # noise=0, which integrates into quadratic z drift). Require the fitted
+    # normal's |z| >= this (0 disables; 0.95 tolerates ~18 deg terrain slope
+    # plus vehicle attitude).
+    surf_normal_min_z: float = 0.95
+    # 5-NN PCA plane fit for the surf stage (see odometry.surf_search5):
+    # 5th neighbor must be within this distance, and all 5 neighbors within
+    # surf_plane_tol of the fitted plane (coplanarity gate — rejects
+    # neighborhoods mixing ground with wall-base points).
+    surf_nn_max_dist: float = 1.5
+    surf_plane_tol: float = 0.06
+    # 5-NN covariance line fit for the corner stage (odometry.corner_search5)
+    corner_nn_max_dist: float = 2.0
+    corner_line_ratio: float = 3.0
     # Wheel-odometry prior mode (fork's updateInitialGuess, :2337-2503).
     # "off": pure LM (upstream behaviour, default here)
     # "init": prior seeds LM (upstream-intended behaviour)
@@ -228,6 +262,16 @@ class MappingConfig:
     # 5-NN implementation: 'auto' = Pallas streaming kernel on TPU, XLA
     # chunked approx_min_k elsewhere; 'pallas' / 'xla' force one.
     nn_backend: str = "auto"
+    # Skip the newest L keyframes when assembling the submap. The newest
+    # entries carry the current pose error almost verbatim; matching against
+    # them is a unity-gain feedback loop ("lock to yesterday's error") that
+    # integrates the odometry prior's chi-biased speed (measured +40%
+    # runaway map speed on the campus course). Anchoring to slightly older
+    # keyframes turns the loop into an average over the lag window — linear
+    # drift bounded by (solve bias / lag) instead. No reference equivalent
+    # (its map update ships disabled; this failure mode is unreachable
+    # there).
+    submap_recency_lag: int = 10
     # Submap rebuild policy: the reference re-assembles the submap every frame
     # (extractSurroundingKeyFrames); with a 50 m search radius the selected
     # set barely changes between 10 Hz frames, so the assembled+downsampled
@@ -241,6 +285,9 @@ class MappingConfig:
     min_surf_map: int = 100
     min_sel: int = 50
     nn_valid_dist: float = 1.0  # 5th-NN gate (mapOptmization.cpp:1279)
+    # Relative weight of corner residuals in the scan-to-map GN (1.0 =
+    # reference behavior; diagnostic ablation knob).
+    corner_weight: float = 1.0
     plane_valid_dist: float = 0.2  # plane residual gate (:1420)
     line_ratio: float = 3.0  # eig gate for line fit (:1326)
     # Map-update ablation: the reference ships with the pose update commented
@@ -289,6 +336,16 @@ class MappingConfig:
     # the duty cycle bounded instead.
     loop_attempt_cooldown: int = 10
     loop_accept_cooldown: int = 50
+    # Coarse-to-fine loop verification (loopclosure.coarse_align_2d): the
+    # occupancy-correlation peak must match at least this FRACTION of the
+    # source's occupied structure cells (plus an absolute floor) before the
+    # refined ICP runs, and the refined ICP gates correspondences at this
+    # distance (the coarse stage already recovered the drift, so the wide
+    # reference gate of 100 m only readmits the ground-dominance failure
+    # mode).
+    loop_coarse_min_frac: float = 0.4
+    loop_coarse_min_score: float = 5.0
+    loop_icp_corr_dist: float = 2.0
     global_map_every_n_frames: int = 5
     # Pose-graph noise model. The reference hardcodes chain VARIANCES of
     # 1e-6 rot / 1e-8 trans and a loop variance equal to the raw ICP fitness
@@ -336,7 +393,7 @@ class DistributedConfig:
 
     mesh_axis_graph: str = "graph"  # factors / keyframes sharded (dp-like)
     mesh_axis_map: str = "map"  # map blocks sharded (tp-like)
-    cg_iterations: int = 64
+    cg_iterations: int = 256
     cg_tolerance: float = 1e-6
     # Use the mesh-sharded pose-graph solver for loop-closure corrections
     # when more than one device is visible. Default ON: multi-device means
@@ -377,7 +434,9 @@ class PipelineConfig:
     # host link as int16 fixed-point at this resolution (±131 m at 4 mm),
     # halving feed bytes vs float32; the chunk runner dequantizes on device.
     # 4 mm is well under the VLP-16's ±30 mm range noise. 0 disables
-    # (float32 feed).
+    # quantization entirely: the pipeline then forces the float32 "points"
+    # feed even when feed_mode == "range" (a range image cannot be
+    # lossless).
     feed_quant: float = 0.004
     # Chunk-feed encoding. "range": the host packs each scan into the
     # (H, W) uint16 range image (+ int8 azimuth residuals) and the device

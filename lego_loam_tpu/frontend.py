@@ -31,7 +31,8 @@ def init_odometry_state(cfg: LegoLoamConfig) -> OdometryState:
         rel_time=jnp.zeros((f.max_corner_less_sharp,)),
         mask=jnp.zeros((f.max_corner_less_sharp,), bool),
     )
-    n_surf = f.max_surf_less_flat + f.shadow_rows * f.shadow_cols
+    # Odometry surf target = ground-only less-flat slice + shadow grid.
+    n_surf = f.surf_ground_cap + f.shadow_rows * f.shadow_cols
     empty_surf = FeatureCloud(
         xyz=jnp.zeros((n_surf, 3)),
         ring=jnp.full((n_surf,), -1, jnp.int32),
@@ -133,6 +134,9 @@ def frontend_prepass(
             surf_less_flat=feats.surf_less_flat.replace(
                 rel_time=jnp.ones_like(feats.surf_less_flat.rel_time)
             ),
+            surf_ground=feats.surf_ground.replace(
+                rel_time=jnp.ones_like(feats.surf_ground.rel_time)
+            ),
         )
     return grid, seg, feats
 
@@ -171,9 +175,38 @@ def frontend_solve(
 
     # Re-project this scan's features to scan end and stash as next targets
     # (≙ publishCloudsLast buffer swap, featureAssociation.cpp:2660-2740).
-    new_corner = to_scan_end(feats.corner_less_sharp, M_R, M_t)
-    new_surf = to_scan_end(feats.surf_less_flat, M_R, M_t)
+    # Surf target is the ground-only slice: the surf-stage queries are
+    # ground picks, structure tripods are normal-gated anyway, and a
+    # smaller target shrinks the stage's distance matrix.
+    #
+    # Deskew with the two-frame SE(3) AVERAGE of the motion, not the raw
+    # per-frame solve: the solve's error feeds the next frame's targets
+    # (shifted by -(1-s)*err), whose displaced minimum feeds the next solve
+    # — a feedback loop with gain ~1 that sustains a period-2 limit cycle
+    # (measured +-0.1 m alternating estimates). The 2-tap average has
+    # exactly zero gain at that frequency for a half-frame of deskew lag
+    # (true motion at 10 Hz changes little per frame). Pose integration and
+    # the warm start still use the raw solve.
+    dRp, dtp = se3.relative(state.R_prev_cur, state.t_prev_cur, M_R, M_t)
+    dRh, dth = se3.interp(dRp, dtp, jnp.float32(0.5))
+    M_R_avg, M_t_avg = se3.compose(state.R_prev_cur, state.t_prev_cur, dRh, dth)
+    first = ~state.initialized
+    M_R_avg = jnp.where(first, M_R, M_R_avg)
+    M_t_avg = jnp.where(first, M_t, M_t_avg)
+    new_corner = to_scan_end(feats.corner_less_sharp, M_R_avg, M_t_avg)
+    new_surf = to_scan_end(feats.surf_ground, M_R_avg, M_t_avg)
     new_surf = _with_shadow(new_surf, cfg)
+
+    # De-skewed clouds for the MAPPING stage (≙ the reference handing
+    # TransformToEnd-projected clouds to MapOptimization,
+    # featureAssociation.cpp:2660-2740). Without this, every stored
+    # keyframe cloud is smeared ALONG ITS HEADING by up to one frame of
+    # motion; where laps traverse the same structures in different
+    # directions the map holds differently-smeared copies, and scan-to-map
+    # against the blended surface walks (measured +5 cm/frame runaway
+    # forward inflation starting exactly at the first reverse-heading
+    # revisit).
+    map_surf = to_scan_end(feats.surf_less_flat, M_R_avg, M_t_avg)
 
     new_state = OdometryState(
         R_prev_cur=M_R,
@@ -188,10 +221,29 @@ def frontend_solve(
         "features": feats,
         "M_R": M_R,
         "M_t": M_t,
+        "M_R_avg": M_R_avg,
+        "M_t_avg": M_t_avg,
         "R_world": R_world,
         "t_world": t_world,
+        # De-skewed (scan-end) clouds for mapping:
+        "map_corner": new_corner,
+        "map_surf": map_surf,
     }
     return new_state, outputs
+
+
+def deskew_outliers(seg: SegmentedScan, M_R, M_t, cfg: LegoLoamConfig):
+    """De-skew the outlier cloud to scan end for the mapping stage (see
+    frontend_solve's map_* outputs). Identity for rigid-rendered scans."""
+    if cfg.pipeline.rigid_scans:
+        return seg.outlier_xyz
+    oc = FeatureCloud(
+        xyz=seg.outlier_xyz,
+        ring=jnp.zeros(seg.outlier_mask.shape, jnp.int32),
+        rel_time=seg.outlier_rel,
+        mask=seg.outlier_mask,
+    )
+    return to_scan_end(oc, M_R, M_t).xyz
 
 
 def frontend_step(
@@ -211,6 +263,9 @@ def frontend_step(
     new_state, out = frontend_solve(feats, state, cfg, odom_prior)
     out["grid"] = grid
     out["segmented"] = seg
+    out["map_outlier_xyz"] = deskew_outliers(
+        seg, out["M_R_avg"], out["M_t_avg"], cfg
+    )
     return new_state, out
 
 

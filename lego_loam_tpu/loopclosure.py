@@ -41,10 +41,11 @@ def icp_point2point(
     R0=None,
     t0=None,
     max_iters: int | None = None,
+    max_corr: float | None = None,
 ) -> ICPResult:
     m = cfg.mapping
-    max_iters = max_iters or min(m.icp_max_iterations, 50)
-    max_d2 = m.icp_max_corr_dist ** 2
+    max_iters = max_iters or m.icp_max_iterations
+    max_d2 = (max_corr or m.icp_max_corr_dist) ** 2
     R0 = jnp.eye(3) if R0 is None else R0
     t0 = jnp.zeros(3) if t0 is None else t0
 
@@ -85,6 +86,86 @@ def icp_point2point(
         cond, body, (jnp.int32(0), R0, t0, jnp.bool_(False), jnp.float32(jnp.inf))
     )
     return ICPResult(R=R, t=t, fitness=fit, converged=fit < m.history_keyframe_fitness_score, iterations=it)
+
+
+def coarse_align_2d(
+    src_xyz,  # (S, 3) structure points, cur-keyframe-centered
+    src_mask,
+    tgt_xyz,  # (T, 3) structure points, cand-keyframe-centered
+    tgt_mask,
+    n_yaw: int = 9,
+    yaw_step: float = 1.5 * jnp.pi / 180.0,
+    extent: float = 24.0,
+    cell: float = 0.5,
+    search: float = 8.0,
+):
+    """Coarse (yaw, dx, dy) alignment by 2-D occupancy correlation.
+
+    Loop-closure ICP from identity fails once inter-lap drift exceeds the
+    local structure scale: surf clouds are ground-dominated (laterally
+    uninformative NN matches) and corner clouds are too sparse for wide
+    basins (measured fitness 60-500 at 4 m true offsets). A dense global
+    translation/yaw search has no basin problem: rasterize both structure
+    clouds into occupancy grids and take the correlation argmax over
+    +-search meters x n_yaw yaw hypotheses — one conv per yaw on the MXU.
+    No reference equivalent (PCL ICP from identity, mapOptmization.cpp:
+    1000-1015 — and its loop closure ships disabled).
+
+    Returns (dx, dy, yaw, score): apply Rz(yaw) about the src center then
+    translate by (dx, dy) to best overlay src onto tgt."""
+    N = int(round(2 * extent / cell))
+    S = int(round(search / cell))
+
+    def grid_of(xy, mask):
+        ij = jnp.floor((xy + extent) / cell).astype(jnp.int32)
+        ok = mask & jnp.all((ij >= 0) & (ij < N), axis=-1)
+        flat = jnp.where(ok, ij[:, 1] * N + ij[:, 0], N * N)
+        g = jnp.zeros((N * N + 1,), jnp.float32).at[flat].max(
+            ok.astype(jnp.float32)
+        )
+        return g[: N * N].reshape(N, N)
+
+    tgt_g = grid_of(tgt_xyz[:, :2], tgt_mask)
+    # 3x3 dilation: tolerate half-cell rasterization misalignment (an edge
+    # landing one cell over would otherwise score zero).
+    tgt_g = jax.lax.reduce_window(
+        tgt_g, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+    )
+
+    yaws = (jnp.arange(n_yaw) - (n_yaw - 1) / 2.0) * yaw_step
+
+    def score_yaw(yaw):
+        c, s = jnp.cos(yaw), jnp.sin(yaw)
+        xr = c * src_xyz[:, 0] - s * src_xyz[:, 1]
+        yr = s * src_xyz[:, 0] + c * src_xyz[:, 1]
+        src_g = grid_of(jnp.stack([xr, yr], axis=-1), src_mask)
+        # correlation over integer shifts: out[dy, dx] = sum_u tgt[u] *
+        # src[u - d]  (conv with the flipped kernel == correlation)
+        out = jax.lax.conv_general_dilated(
+            tgt_g[None, None],
+            src_g[None, None],
+            window_strides=(1, 1),
+            padding=[(S, S), (S, S)],
+        )[0, 0]
+        return out  # (2S+1, 2S+1)
+
+    scores = jax.vmap(score_yaw)(yaws)  # (n_yaw, 2S+1, 2S+1)
+    flat_idx = jnp.argmax(scores)
+    iy = flat_idx // ((2 * S + 1) * (2 * S + 1))
+    rem = flat_idx % ((2 * S + 1) * (2 * S + 1))
+    r = rem // (2 * S + 1)
+    c_ = rem % (2 * S + 1)
+    # conv output index (r, c) corresponds to shifting src by
+    # d = (r - S, c - S) cells in (row=y, col=x)
+    dy = (r - S).astype(jnp.float32) * cell
+    dx = (c_ - S).astype(jnp.float32) * cell
+    # Normalizer: occupied src cells (a whole vertical edge is ONE xy cell,
+    # so raw scores are small — gate on the matched FRACTION).
+    c0, s0 = jnp.cos(yaws[iy]), jnp.sin(yaws[iy])
+    xr = c0 * src_xyz[:, 0] - s0 * src_xyz[:, 1]
+    yr = s0 * src_xyz[:, 0] + c0 * src_xyz[:, 1]
+    n_src = jnp.sum(grid_of(jnp.stack([xr, yr], axis=-1), src_mask))
+    return dx, dy, yaws[iy], scores.reshape(-1)[flat_idx], n_src
 
 
 def detect_loop_candidate(

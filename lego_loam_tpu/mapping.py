@@ -296,6 +296,8 @@ def scan_to_map(
         )
         nc, dc, wc = _corner_residuals(qc, fit_c)
         ns, ds_, ws = _surf_residuals(qs, fit_s)
+        if m.corner_weight != 1.0:
+            wc = wc * m.corner_weight
 
         Hc, gc = _gn_normal_equations(
             qc[:, 0], qc[:, 1], qc[:, 2], nc, dc, wc

@@ -114,6 +114,77 @@ def _robust_weight(dist, ok, slope):
     return 1.0 - (slope / scale) * a
 
 
+def corner_search5(q_xyz, query: FeatureCloud, target: FeatureCloud, cfg):
+    """Top-5 NN in the corner target for the covariance line fit.
+
+    Replaces the NN + nearest-adjacent-ring support PAIR
+    (findCorrespondingCornerFeatures :1589-1644): a 2-point line is exact
+    through its supports, so a pair straddling two different edges (the
+    adjacent-ring pick is only distance-gated at 5 m) defines an arbitrary
+    direction with no residual evidence. 5-NN covariance + the line-ratio
+    gate (same construction as the mapping stage's _corner_fit,
+    mapOptmization.cpp:1283-1333) rejects non-collinear neighborhoods."""
+    o = cfg.odometry
+    d2 = pairwise_sqdist(q_xyz, target.xyz)
+    masked = jnp.where(
+        target.mask[None, :] & query.mask[:, None], d2, _BIG
+    )
+    neg, idx = jax.lax.top_k(-masked, 5)
+    ok = query.mask & (-neg[:, 4] < o.corner_nn_max_dist ** 2)
+    return idx, ok
+
+
+def corner_fit5(nbr, ok):
+    """Covariance line fit through (Q, 5, 3) neighbors: center c, direction
+    v (largest eigvec), eigenvalue ratio for the collinearity gate.
+    Returns (cx, cy, cz, vx, vy, vz, ratio, ok)."""
+    from .math.linalg3 import eigvals3x3_components, eigvec_extreme_components
+
+    nx, ny, nz = nbr[:, :, 0], nbr[:, :, 1], nbr[:, :, 2]
+    cx = jnp.mean(nx, axis=1)
+    cy = jnp.mean(ny, axis=1)
+    cz = jnp.mean(nz, axis=1)
+    dx = nx - cx[:, None]
+    dy = ny - cy[:, None]
+    dz = nz - cz[:, None]
+    comps = (
+        jnp.mean(dx * dx, axis=1), jnp.mean(dx * dy, axis=1),
+        jnp.mean(dx * dz, axis=1), jnp.mean(dy * dy, axis=1),
+        jnp.mean(dy * dz, axis=1), jnp.mean(dz * dz, axis=1),
+    )
+    lo, mid, hi = eigvals3x3_components(*comps)
+    vx, vy, vz = eigvec_extreme_components(comps, lo, mid)  # largest eigvec
+    ratio = hi / jnp.maximum(mid, 1e-9)
+    return (cx, cy, cz, vx, vy, vz, ratio, ok)
+
+
+def corner_eval5(q_xyz, fit, late, cfg):
+    """Point-to-line residual vs the cached covariance line, with the
+    collinearity gate. dist = |(q - c) x v| (v unit up to eig scaling —
+    eigvec_extreme_components returns unit vectors)."""
+    o = cfg.odometry
+    cx, cy, cz, vx, vy, vz, ratio, ok = fit
+    ok = ok & (ratio > o.corner_line_ratio)
+    qx, qy, qz = q_xyz[:, 0], q_xyz[:, 1], q_xyz[:, 2]
+    px = qx - cx
+    py = qy - cy
+    pz = qz - cz
+    crx = py * vz - pz * vy
+    cry = pz * vx - px * vz
+    crz = px * vy - py * vx
+    cn = jnp.sqrt(crx * crx + cry * cry + crz * crz)
+    dist = cn
+    inv = 1.0 / jnp.maximum(cn, 1e-12)
+    ux, uy, uz = crx * inv, cry * inv, crz * inv
+    gx = vy * uz - vz * uy
+    gy = vz * ux - vx * uz
+    gz = vx * uy - vy * ux
+    s = _robust_weight(dist, ok, o.weight_slope_corner)
+    w = jnp.where(ok & (s > o.weight_min) & (dist > 1e-9), s, 0.0)
+    del late
+    return (gx, gy, gz), dist, w
+
+
 def corner_search(q_xyz, query: FeatureCloud, target: FeatureCloud, cfg):
     """NN + nearest-on-adjacent-ring support pair for point-to-line.
 
@@ -167,6 +238,72 @@ def corner_eval(q_xyz, fit, late, cfg):
     return (gx, gy, gz), dist, w
 
 
+def surf_search5(q_xyz, query: FeatureCloud, target: FeatureCloud, cfg):
+    """Top-5 NN in the (ground-only) surf target for the PCA plane fit.
+
+    Replaces the reference's NN + same-ring + adjacent-ring support TRIPOD
+    (findCorrespondingSurfFeatures :1722-1800): a 3-point fit is exact
+    through its supports, so one support sitting slightly off the ground
+    plane (the ground label's 0.3 m elevation margin admits wall-base
+    points, imageProjection.cpp:673-698 — same in our apply_ground) tilts
+    the plane 10-20 deg with no residual evidence. 5-NN PCA + the
+    coplanarity gate in surf_fit5 rejects exactly those neighborhoods
+    (measured: removes a deterministic -0.03 deg/frame pitch bias). One
+    top_k also beats three masked argmin sweeps on TPU."""
+    o = cfg.odometry
+    d2 = pairwise_sqdist(q_xyz, target.xyz)
+    masked = jnp.where(
+        target.mask[None, :] & query.mask[:, None], d2, _BIG
+    )
+    neg, idx = jax.lax.top_k(-masked, 5)
+    ok = query.mask & (-neg[:, 4] < o.surf_nn_max_dist ** 2)
+    return idx, ok
+
+
+def surf_fit5(nbr, ok):
+    """PCA plane through the (Q, 5, 3) neighbor sets (total least squares,
+    like the mapping stage's _surf_fit) + per-neighbor coplanarity residual.
+    Returns (gx, gy, gz, d_off, max_dev, ok); the gates that need config
+    (coplanarity tolerance, normal-z) are applied in surf_eval."""
+    nx, ny, nz = nbr[:, :, 0], nbr[:, :, 1], nbr[:, :, 2]
+    cx = jnp.mean(nx, axis=1)
+    cy = jnp.mean(ny, axis=1)
+    cz = jnp.mean(nz, axis=1)
+    dx = nx - cx[:, None]
+    dy = ny - cy[:, None]
+    dz = nz - cz[:, None]
+    comps = (
+        jnp.sum(dx * dx, axis=1), jnp.sum(dx * dy, axis=1),
+        jnp.sum(dx * dz, axis=1), jnp.sum(dy * dy, axis=1),
+        jnp.sum(dy * dz, axis=1), jnp.sum(dz * dz, axis=1),
+    )
+    from .math.linalg3 import eigvals3x3_components, eigvec_extreme_components
+
+    lo, mid, hi = eigvals3x3_components(*comps)
+    gx, gy, gz = eigvec_extreme_components(comps, mid, hi)  # smallest eigvec
+    d_off = -(gx * cx + gy * cy + gz * cz)
+    dev = jnp.abs(
+        gx[:, None] * nx + gy[:, None] * ny + gz[:, None] * nz + d_off[:, None]
+    )
+    return (gx, gy, gz, d_off, jnp.max(dev, axis=1), ok)
+
+
+def surf_eval5(q_xyz, fit, late, cfg):
+    """Point-to-plane residual vs the cached PCA plane, with the coplanarity
+    and normal-z gates (see surf_search5)."""
+    o = cfg.odometry
+    gx, gy, gz, d_off, max_dev, ok = fit
+    ok = ok & (max_dev < o.surf_plane_tol)
+    if o.surf_normal_min_z > 0:
+        ok = ok & (jnp.abs(gz) >= o.surf_normal_min_z)
+    qx, qy, qz = q_xyz[:, 0], q_xyz[:, 1], q_xyz[:, 2]
+    pd = gx * qx + gy * qy + gz * qz + d_off
+    s = _robust_weight(pd, ok, o.weight_slope_surf)
+    w = jnp.where(ok & (s > o.weight_min), s, 0.0)
+    del late
+    return (gx, gy, gz), pd, w
+
+
 def surf_search(q_xyz, query: FeatureCloud, target: FeatureCloud, cfg):
     """NN + same-or-lower-ring + higher-ring support triple for point-to-plane.
 
@@ -205,6 +342,11 @@ def surf_eval(q_xyz, fit, late, cfg):
     iteration; component-plane math throughout."""
     o = cfg.odometry
     gx, gy, gz, d_off, ok = fit
+    if o.surf_normal_min_z > 0:
+        # Ground-query planes must be near-horizontal: tripods mixing a wall
+        # point tilt the fit and bias pitch (see OdometryConfig.
+        # surf_normal_min_z; measured -0.05 deg/frame deterministic).
+        ok = ok & (jnp.abs(gz) >= o.surf_normal_min_z)
     qx, qy, qz = q_xyz[:, 0], q_xyz[:, 1], q_xyz[:, 2]
     pd = gx * qx + gy * qy + gz * qz + d_off
     s = _robust_weight(pd, ok, o.weight_slope_surf)
@@ -287,7 +429,8 @@ def _gn_step(q_xyz, rel_time, n, d, w, dof_idx, cfg: LegoLoamConfig):
 
 
 def _solve_stage(
-    M_R, M_t, query, target, search_fn, fit_fn, eval_fn, n_sup, dof_mask, cfg
+    M_R, M_t, query, target, search_fn, fit_fn, eval_fn, n_sup, dof_mask, cfg,
+    sup_dims=(3,),
 ):
     """GN iterations with periodic correspondence refresh (≙
     updateTransformation loops, featureAssociation.cpp:2505-2535).
@@ -342,7 +485,7 @@ def _solve_stage(
         return it + 1, R_new, t_new, fit, done, R_ref, t_ref
 
     fit0 = fit_fn(
-        *([jnp.zeros((Q, 3))] * n_sup), jnp.zeros((Q,), bool)
+        *([jnp.zeros((Q,) + sup_dims)] * n_sup), jnp.zeros((Q,), bool)
     )
     init = (
         jnp.int32(0), M_R, M_t, fit0, jnp.bool_(False), M_R, M_t
@@ -378,16 +521,27 @@ def two_step_odometry(
     cfg: LegoLoamConfig,
 ):
     """Full two-step solve. Returns refined (R, t) motion estimate."""
+    o = cfg.odometry
     R, t = _solve_stage(
         M_R_init, M_t_init,
         features.surf_flat, last_surf,
-        surf_search, surf_fit, surf_eval, 3, SURF_DOFS, cfg,
+        surf_search5, surf_fit5, surf_eval5, 1, SURF_DOFS, cfg,
+        sup_dims=(5, 3),
     )
     R, t = _solve_stage(
         R, t,
         features.corner_sharp, last_corner,
-        corner_search, corner_fit, corner_eval, 2, CORNER_DOFS, cfg,
+        corner_search5, corner_fit5, corner_eval5, 1, CORNER_DOFS, cfg,
+        sup_dims=(5, 3),
     )
+    if o.accel_cap > 0:
+        # Speed trust region vs the warm start (constant-velocity model):
+        # see OdometryConfig.accel_cap. Direction is kept; only |t| is
+        # clamped into [prev - cap, prev + cap].
+        prev_sp = jnp.linalg.norm(M_t_init)
+        sp = jnp.linalg.norm(t)
+        tgt_sp = jnp.clip(sp, prev_sp - o.accel_cap, prev_sp + o.accel_cap)
+        t = t * (tgt_sp / jnp.maximum(sp, 1e-9))
     return R, t
 
 

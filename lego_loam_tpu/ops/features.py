@@ -271,18 +271,32 @@ def extract_features(seg: SegmentedScan, cfg: LegoLoamConfig) -> ScanFeatures:
     # Less-flat: everything not picked as an edge, voxel-downsampled 0.2 m.
     # ring/rel_time ride the voxel reduction as pooled attribute channels —
     # indexing the pre-DS rows with post-DS positions would scramble the
-    # per-point sweep times the odometry warp depends on.
+    # per-point sweep times the odometry warp depends on. Ground and
+    # structure are pooled in SEPARATE populations (see
+    # ScanFeatures.surf_ground) and concatenated for the mapping cloud.
     less_flat_src = seg.valid & ~edge_pick
-    lf = _gather_rows(seg, less_flat_src, f.max_surf_less_flat)
-    lf_xyz, lf_mask, (lf_rel, lf_ring) = voxel_downsample_masked(
-        lf.xyz, lf.mask, f.less_flat_leaf, cfg.pipeline.local_voxel_radius,
-        extras=[lf.rel_time, lf.ring.astype(jnp.float32)],
-    )
+
+    def _pool(pick, cap):
+        c = _gather_rows(seg, pick, cap)
+        xyz, m, (rel, ring) = voxel_downsample_masked(
+            c.xyz, c.mask, f.less_flat_leaf, cfg.pipeline.local_voxel_radius,
+            extras=[c.rel_time, c.ring.astype(jnp.float32)],
+        )
+        return FeatureCloud(
+            xyz=xyz,
+            ring=jnp.where(m, jnp.rint(ring).astype(jnp.int32), -1),
+            rel_time=jnp.where(m, rel, 0.0),
+            mask=m,
+        )
+
+    n_struct = f.max_surf_less_flat - f.surf_ground_cap
+    lf_ground = _pool(less_flat_src & seg.ground, f.surf_ground_cap)
+    lf_struct = _pool(less_flat_src & ~seg.ground, n_struct)
     less_flat = FeatureCloud(
-        xyz=lf_xyz,
-        ring=jnp.where(lf_mask, jnp.rint(lf_ring).astype(jnp.int32), -1),
-        rel_time=jnp.where(lf_mask, lf_rel, 0.0),
-        mask=lf_mask,
+        xyz=jnp.concatenate([lf_ground.xyz, lf_struct.xyz]),
+        ring=jnp.concatenate([lf_ground.ring, lf_struct.ring]),
+        rel_time=jnp.concatenate([lf_ground.rel_time, lf_struct.rel_time]),
+        mask=jnp.concatenate([lf_ground.mask, lf_struct.mask]),
     )
 
     # Append virtual shadow points to flat surfs (rel_time 1 == scan end,
@@ -313,4 +327,5 @@ def extract_features(seg: SegmentedScan, cfg: LegoLoamConfig) -> ScanFeatures:
         corner_less_sharp=less_sharp,
         surf_flat=flat,
         surf_less_flat=less_flat,
+        surf_ground=lf_ground,
     )

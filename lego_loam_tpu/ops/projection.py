@@ -117,8 +117,12 @@ def project_point_cloud(points, mask, cfg: LegoLoamConfig) -> ScanGrid:
 
 def host_pack_range_image(points, cfg: LegoLoamConfig):
     """numpy: (N, 3) raw cloud -> (rimg uint16 (H,W), az_resid int8 (H,W),
-    row_elev float32 (H,)). Mirrors project_point_cloud exactly (same
-    row/col formulas, min-range tie-break); NaN rows = misses."""
+    elev_resid int8 (H,W), row_elev float32 (H,)). Same row/col formulas and
+    min-range tie-break as project_point_cloud; NaN rows = misses. The int8
+    residual planes recover each point's exact azimuth AND elevation vs the
+    bin centers — without the elevation plane, irregular-beam sensors
+    (real VLP-32c) reconstruct with up to bin-width elevation error when
+    adjacent beams share a quantization bin."""
     import numpy as np
 
     laser = cfg.laser
@@ -177,10 +181,21 @@ def host_pack_range_image(points, cfg: LegoLoamConfig):
     azr[flat[win]] = np.clip(
         np.rint(resid / (laser.ang_res_x / 2.0) * 127.0), -127, 127
     ).astype(np.int8)
-    return rimg.reshape(H, W), azr.reshape(H, W), row_elev
+    # elevation residual vs the row-center beam, in half-row-spacing units
+    e_scale = (
+        laser.vlp32c_row_quant if laser.use_vlp32c else laser.ang_res_y
+    ) / 2.0
+    resid_e = elev[win] - row_elev[row[win]]
+    elr = np.zeros((H * W,), np.int8)
+    elr[flat[win]] = np.clip(
+        np.rint(resid_e / e_scale * 127.0), -127, 127
+    ).astype(np.int8)
+    return rimg.reshape(H, W), azr.reshape(H, W), elr.reshape(H, W), row_elev
 
 
-def grid_from_range_image(rimg, az_resid, row_elev, cfg: LegoLoamConfig) -> ScanGrid:
+def grid_from_range_image(
+    rimg, az_resid, elev_resid, row_elev, cfg: LegoLoamConfig
+) -> ScanGrid:
     """Device: reconstruct a ScanGrid from the packed range image."""
     laser = cfg.laser
     H, W = rimg.shape
@@ -194,7 +209,12 @@ def grid_from_range_image(rimg, az_resid, row_elev, cfg: LegoLoamConfig) -> Scan
         + jnp.pi / 2.0
         + az_resid.astype(jnp.float32) * (laser.ang_res_x / 2.0 / 127.0)
     )
-    elev = row_elev[:, None]
+    e_scale = (
+        laser.vlp32c_row_quant if laser.use_vlp32c else laser.ang_res_y
+    ) / 2.0
+    elev = row_elev[:, None] + elev_resid.astype(jnp.float32) * (
+        e_scale / 127.0
+    )
     hor = rng * jnp.cos(elev)
     xyz = jnp.stack(
         [hor * jnp.sin(az), hor * jnp.cos(az), rng * jnp.sin(elev)], axis=-1

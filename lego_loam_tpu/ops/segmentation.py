@@ -239,6 +239,7 @@ def segment_cloud(grid: ScanGrid, cfg: LegoLoamConfig) -> tuple[ScanGrid, Segmen
     oorder = jnp.argsort(~oflat)[:No]
     oxyz = grid.xyz.reshape(-1, 3)[oorder]
     omask = oflat[oorder]
+    orel = grid.rel_time.reshape(-1)[oorder]
 
     seg = SegmentedScan(
         xyz=jnp.where(packed_valid[..., None], pack(grid.xyz), 0.0),
@@ -250,5 +251,6 @@ def segment_cloud(grid: ScanGrid, cfg: LegoLoamConfig) -> tuple[ScanGrid, Segmen
         rel_time=jnp.where(packed_valid, pack(grid.rel_time), 0.0),
         outlier_xyz=jnp.where(omask[:, None], oxyz, 0.0),
         outlier_mask=omask,
+        outlier_rel=jnp.where(omask, orel, 0.0),
     )
     return grid, seg

@@ -85,9 +85,13 @@ class LegoLoamPipeline:
         )
         self._icp = jax.jit(
             lambda src, sm, tgt, tm, R0, t0: icp_point2point(
-                src, sm, tgt, tm, cfg, R0, t0
+                src, sm, tgt, tm, cfg, R0, t0,
+                max_corr=cfg.mapping.loop_icp_corr_dist,
             )
         )
+        from .loopclosure import coarse_align_2d
+
+        self._coarse = jax.jit(coarse_align_2d)
         self._mesh = None
         if len(jax.devices()) > 1 and (
             cfg.distributed.use_sharded_posegraph or cfg.distributed.shard_backend
@@ -142,6 +146,8 @@ class LegoLoamPipeline:
         # diagnostics (nearest-candidate distance), so "0 closures" in a run
         # artifact is explainable.
         self._loop_pending = None
+        self._loop_snap_copy = None
+        self._graph_cost = None
         self.loop_diag: list[dict] = []
         self._loop_cooldown_until = 0
         self.frame_idx = 0
@@ -268,10 +274,17 @@ class LegoLoamPipeline:
             if self.profile:
                 jax.block_until_ready(out["t_world"])
                 t0 = _time.perf_counter()
+            # Mapping consumes the DE-SKEWED (scan-end) clouds, like the
+            # reference's TransformToEnd hand-off (featureAssociation.cpp:
+            # 2660-2740); see frontend_solve's map_* outputs.
+            map_feats = out["features"].replace(
+                corner_less_sharp=out["map_corner"],
+                surf_less_flat=out["map_surf"],
+            )
             self.bstate, (R_map, t_map), diag = self._backend(
                 self.bstate,
-                out["features"],
-                out["segmented"].outlier_xyz,
+                map_feats,
+                out["map_outlier_xyz"],
                 out["segmented"].outlier_mask,
                 out["R_world"],
                 out["t_world"],
@@ -345,7 +358,7 @@ class LegoLoamPipeline:
                 from .ops.projection import grid_from_range_image
 
                 grid_in = grid_from_range_image(
-                    inp["rimg"], inp["azr"], inp["rowe"], cfg
+                    inp["rimg"], inp["azr"], inp["elr"], inp["rowe"], cfg
                 )
             else:
                 pts, mask = inp["pts"], inp["mask"]
@@ -382,10 +395,19 @@ class LegoLoamPipeline:
             _grid, seg, feats = frontend_prepass(
                 pts, mask, cfg, key, imu_track=imu_track, grid=grid_in
             )
-            ds = downsample_current_scan(
-                feats, seg.outlier_xyz, seg.outlier_mask, cfg
-            )
             fstate, out = frontend_solve(feats, fstate, cfg, odom_prior)
+            # Mapping consumes DE-SKEWED (scan-end) clouds — see
+            # frontend_solve's map_* outputs.
+            from .frontend import deskew_outliers
+
+            map_feats = feats.replace(
+                corner_less_sharp=out["map_corner"],
+                surf_less_flat=out["map_surf"],
+            )
+            o_xyz = deskew_outliers(seg, out["M_R_avg"], out["M_t_avg"], cfg)
+            ds = downsample_current_scan(
+                map_feats, o_xyz, seg.outlier_mask, cfg
+            )
 
             # TransformFusion output at odometry rate, using the latest
             # *available* map pose — one frame stale, the same asynchronous
@@ -415,11 +437,18 @@ class LegoLoamPipeline:
                     (idx % div) == 0, do_map, skip, bstate
                 )
 
+            from .mapping import map_prior as _map_prior
+
+            _, t_prior_dbg = _map_prior(
+                carry[1].R_map, carry[1].t_map, carry[1].R_odom,
+                carry[1].t_odom, out["R_world"], out["t_world"],
+            )
             ys = {
                 "t_world": out["t_world"],
                 "t_fused": tf,
                 "R_map": bstate.R_map,
                 "t_map": bstate.t_map,
+                "t_prior": t_prior_dbg,
                 "diag": diag,
             }
             return (fstate, bstate, idx + 1, odom_prev), ys
@@ -440,21 +469,25 @@ class LegoLoamPipeline:
         int8 azimuth residuals + per-row beam elevations — 3x fewer bytes
         than int16 xyz and the device-side projection scatter disappears.
         feed_mode "points": fixed-shape (C, max_points, 3) int16 (or f32
-        when feed_quant == 0) + mask; the chunk runner projects on device."""
+        when feed_quant == 0) + mask; the chunk runner projects on device.
+        feed_quant == 0 forces the points feed (the range image is
+        inherently range-quantized, so "range" cannot honor a lossless
+        request)."""
         C = len(scans)
-        if self.cfg.pipeline.feed_mode == "range":
+        if self.cfg.pipeline.feed_mode == "range" and self.cfg.pipeline.feed_quant > 0:
             from .ops.projection import host_pack_range_image
 
             H = self.cfg.laser.num_vertical_scans
             W = self.cfg.laser.num_horizontal_scans
             rimg = np.zeros((C, H, W), np.uint16)
             azr = np.zeros((C, H, W), np.int8)
+            elr = np.zeros((C, H, W), np.int8)
             rowe = np.zeros((C, H), np.float32)
             for c, points in enumerate(scans):
-                rimg[c], azr[c], rowe[c] = host_pack_range_image(
+                rimg[c], azr[c], elr[c], rowe[c] = host_pack_range_image(
                     points, self.cfg
                 )
-            return {"rimg": rimg, "azr": azr, "rowe": rowe}
+            return {"rimg": rimg, "azr": azr, "elr": elr, "rowe": rowe}
         n = self.cfg.laser.max_points
         buf = np.zeros((C, n, 3), np.float32)
         m = np.zeros((C, n), bool)
@@ -583,6 +616,7 @@ class LegoLoamPipeline:
         )
         self._dev_log["odom_t"].append(ys["t_world"])
         self._dev_log["fused_t"].append(ys["t_fused"])
+        self._dev_log.setdefault("prior_t", []).append(ys["t_prior"])
         div = cfg.mapping.mapping_frequency_divider
         frames = np.arange(f0, f0 + C)
         mapped = (frames % div) == 0
@@ -703,6 +737,8 @@ class LegoLoamPipeline:
             "odom_t": cat(log["odom_t"], 1, (0, 3)),
             "fused_t": cat(log["fused_t"], 1, (0, 3)),
         }
+        if log.get("prior_t"):
+            stacked["prior_t"] = cat(log["prior_t"], 1, (0, 3))
         map_t = cat(log["map_t"], 1, (0, 3))
         n_map = map_t.shape[0]
         if n_map:
@@ -726,6 +762,7 @@ class LegoLoamPipeline:
 
         self.odom_positions = host["odom_t"]
         self.fused_positions = host["fused_t"]
+        self.prior_positions = host.get("prior_t")
         if n_map:
             # map_time entries are floats (host path) or device arrays
             # (staged-chunk path) — flatten in one pass here.
@@ -771,7 +808,16 @@ class LegoLoamPipeline:
         All indices below are *logical* keyframe ids (monotone append order);
         the device ring store is addressed through slot = id % K."""
         cfg = self.cfg
-        snap = (self.bstate.kf_t, self.bstate.kf_time, self.bstate.n_kf)
+        # COPY the snapshot arrays: the state buffers are donated into the
+        # next chunk dispatch, which would delete a bare reference before the
+        # deferred read happens.
+        if self._loop_snap_copy is None:
+            self._loop_snap_copy = jax.jit(
+                lambda a, b, c: (a + 0.0, b + 0.0, c + 0)
+            )
+        snap = self._loop_snap_copy(
+            self.bstate.kf_t, self.bstate.kf_time, self.bstate.n_kf
+        )
         pend, self._loop_pending = self._loop_pending, snap
         if pend is None:
             return
@@ -810,28 +856,80 @@ class LegoLoamPipeline:
         cur_slot = int(slots[cur])
         cand_slot = int(slots[cand])
 
+        # Coarse-to-fine geometric verification. ICP from identity fails
+        # once inter-lap drift exceeds the local structure scale (surf
+        # clouds are ground-dominated — laterally uninformative; corner
+        # clouds are too sparse for a multi-meter basin; measured fitness
+        # 60-500 at true 4 m-offset revisits). Stage 1: global (yaw, dx,
+        # dy) by occupancy correlation of the CORNER (structure) clouds +
+        # dz from the surf (ground-dominated) mean-z gap. Stage 2: surf
+        # ICP from that init with a tight correspondence gate.
+        # (≙ performLoopClosure's single PCL ICP, mapOptmization.cpp:
+        # 1000-1015 — which ships disabled.)
         kf_R = self.bstate.kf_R
         kf_t = self.bstate.kf_t
+        kf_corner = self.bstate.kf_corner_view()
         kf_surf = self.bstate.kf_surf_view()
-        tgt = jnp.einsum(
+        c_cur = kf_t[cur_slot]
+        c_cand = kf_t[cand_slot]
+        tgt_c = jnp.einsum(
+            "kij,knj->kni", kf_R[idx], kf_corner[idx]
+        ) + (kf_t[idx] - c_cand[None])[:, None, :]
+        tgt_c_mask = self.bstate.kf_corner_mask[idx]
+        src_c = jnp.einsum("ij,nj->ni", kf_R[cur_slot], kf_corner[cur_slot])
+        src_c_mask = self.bstate.kf_corner_mask[cur_slot]
+        dx, dy, yaw, score, n_src = self._coarse(
+            src_c, src_c_mask, tgt_c.reshape(-1, 3), tgt_c_mask.reshape(-1)
+        )
+        score = float(jax.device_get(score))
+        n_src = float(jax.device_get(n_src))
+        frac = score / max(n_src, 1.0)
+        self.loop_diag[-1]["coarse_score"] = score
+        self.loop_diag[-1]["coarse_frac"] = round(frac, 3)
+        if (
+            score < cfg.mapping.loop_coarse_min_score
+            or frac < cfg.mapping.loop_coarse_min_frac
+        ):
+            return
+
+        tgt_s = jnp.einsum(
             "kij,knj->kni", kf_R[idx], kf_surf[idx]
         ) + kf_t[idx][:, None, :]
-        tgt_mask = self.bstate.kf_surf_mask[idx]
-        src = (
+        tgt_s_mask = self.bstate.kf_surf_mask[idx]
+        src_s = (
             jnp.einsum("ij,nj->ni", kf_R[cur_slot], kf_surf[cur_slot])
-            + kf_t[cur_slot][None, :]
+            + c_cur[None, :]
+        )
+        src_s_mask = self.bstate.kf_surf_mask[cur_slot]
+        # dz from the ground-dominated surf mean-z gap (yaw about z keeps z)
+        ns = jnp.maximum(jnp.sum(src_s_mask), 1)
+        nt = jnp.maximum(jnp.sum(tgt_s_mask), 1)
+        dz = (
+            jnp.sum(jnp.where(tgt_s_mask.reshape(-1), tgt_s.reshape(-1, 3)[:, 2], 0.0)) / nt
+            - jnp.sum(jnp.where(src_s_mask, src_s[:, 2], 0.0)) / ns
+        )
+        # map-frame init: p' = Rz(yaw) (p - (c_cur - c_cand shift origin))...
+        # src was correlated cur-centered against cand-centered tgt, so the
+        # full-frame transform is p' = Rz(yaw)(p - c_cur) + c_cand + (dx,dy,dz)
+        cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+        R0 = jnp.array([[cy, -sy, 0.0], [sy, cy, 0.0], [0.0, 0.0, 1.0]])
+        t0 = (
+            c_cand + jnp.stack([dx, dy, dz]) - R0 @ c_cur
         )
         res = self._icp(
-            src,
-            self.bstate.kf_surf_mask[cur_slot],
-            tgt.reshape(-1, 3),
-            tgt_mask.reshape(-1),
-            jnp.eye(3),
-            jnp.zeros(3),
+            src_s,
+            src_s_mask,
+            tgt_s.reshape(-1, 3),
+            tgt_s_mask.reshape(-1),
+            R0,
+            t0,
         )
         res = jax.device_get(res)
+        self.loop_diag[-1]["icp_fitness"] = float(res.fitness)
+        self.loop_diag[-1]["icp_iters"] = int(res.iterations)
         if float(res.fitness) > cfg.mapping.history_keyframe_fitness_score:
             return
+        self.loop_diag[-1]["accepted"] = True
 
         cur_R, cur_t = jax.device_get((kf_R[cur_slot], kf_t[cur_slot]))
         cand_R, cand_t = jax.device_get((kf_R[cand_slot], kf_t[cand_slot]))
@@ -949,6 +1047,31 @@ class LegoLoamPipeline:
             newR, newt = self._solve_graph(
                 self.bstate.kf_R, self.bstate.kf_t, factors, active
             )
+
+        # Solver-health gate (same philosophy as the mapping armor): a
+        # correction must REDUCE the graph's weighted residual and stay
+        # finite, else keep the old poses (the factor — and its diagnostic —
+        # is retained for the next, better-conditioned solve).
+        if self._graph_cost is None:
+            from .posegraph import graph_cost
+
+            self._graph_cost = jax.jit(graph_cost)
+        c0, c1, moved = jax.device_get((
+            self._graph_cost(self.bstate.kf_R, self.bstate.kf_t, factors),
+            self._graph_cost(newR, newt, factors),
+            jnp.max(
+                jnp.where(
+                    active, jnp.linalg.norm(newt - self.bstate.kf_t, axis=1), 0.0
+                )
+            ),
+        ))
+        ok = bool(np.isfinite(c1)) and bool(c1 < c0)
+        if self.loop_diag:
+            self.loop_diag[-1]["graph_cost"] = [float(c0), float(c1)]
+            self.loop_diag[-1]["graph_max_move"] = float(moved)
+            self.loop_diag[-1]["graph_accepted"] = ok
+        if not ok:
+            return
         newest = int(slots[-1])
         self.bstate = self.bstate.replace(
             kf_R=newR,

@@ -165,6 +165,18 @@ def solve_pose_graph(
             0, d.cg_iterations, cg_body, (x, res, p, rz)
         )
 
+        # Per-pose trust region: a partially-converged PCG direction can
+        # carry huge components (measured pose launches to 1e3+ m at the
+        # first campus loop closure); a legitimate correction distributes a
+        # few meters across hundreds of poses, so per-pose caps only cut
+        # runaway.
+        rot_n = jnp.linalg.norm(x[:, :3], axis=1, keepdims=True)
+        trans_n = jnp.linalg.norm(x[:, 3:], axis=1, keepdims=True)
+        scale = jnp.minimum(
+            jnp.minimum(1.0, 0.3 / jnp.maximum(rot_n, 1e-12)),
+            jnp.minimum(1.0, 2.0 / jnp.maximum(trans_n, 1e-12)),
+        )
+        x = x * scale
         dR, dt = se3.exp_se3(x)
         # right-multiplicative update
         R_new = R @ dR
@@ -177,6 +189,12 @@ def solve_pose_graph(
 
     R, t = jax.lax.fori_loop(0, gn_iters, gn_body, (poses_R, poses_t))
     return R, t
+
+
+def graph_cost(poses_R, poses_t, factors: Factors):
+    """Total weighted squared residual of the factor set (masked)."""
+    r = factor_residuals(poses_R, poses_t, factors)
+    return jnp.sum(r * r * factors.info * factors.mask[:, None])
 
 
 def chain_factors_from_poses(poses_R, poses_t, n_active, max_factors, info_rot=1e6, info_trans=1e8):

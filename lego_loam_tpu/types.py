@@ -50,6 +50,7 @@ class SegmentedScan(_Base):
     rel_time: jax.Array  # (H, W)
     outlier_xyz: jax.Array  # (No, 3) downsampled outlier cloud
     outlier_mask: jax.Array  # (No,)
+    outlier_rel: jax.Array  # (No,) sweep-relative capture time of outliers
 
 
 class FeatureCloud(_Base):
@@ -72,6 +73,12 @@ class ScanFeatures(_Base):
     corner_less_sharp: FeatureCloud
     surf_flat: FeatureCloud
     surf_less_flat: FeatureCloud
+    # Ground-only slice of the less-flat cloud, voxel-pooled SEPARATELY from
+    # structure so no centroid mixes ground with wall points (a mixed
+    # centroid near a building base sits off the ground plane and biases the
+    # odometry surf stage's pitch — measured -0.03 deg/frame). This is the
+    # odometry surf-stage target; mapping uses the full surf_less_flat.
+    surf_ground: FeatureCloud
 
 
 class OdometryState(_Base):

@@ -144,6 +144,20 @@ def main():
     print(json.dumps(result))
     with open("CAMPUS_RUN.json", "w") as f:
         json.dump(result, f, indent=1)
+    # Per-check loop-closure diagnostic trail: makes "0 closures" explainable
+    # (nearest candidate distance / ICP fitness per check).
+    import os
+
+    with open(os.path.join(args.out, "loop_diag.json"), "w") as f:
+        json.dump(pipe.loop_diag, f, indent=0)
+    checks = [d for d in pipe.loop_diag if d["cand"] >= 0]
+    if checks:
+        fits = [d.get("icp_fitness") for d in checks if "icp_fitness" in d]
+        print(
+            f"loop checks with candidate: {len(checks)}; "
+            f"icp fitness min/median: "
+            f"{(min(fits), sorted(fits)[len(fits)//2]) if fits else 'n/a'}"
+        )
 
 
 if __name__ == "__main__":

@@ -23,6 +23,10 @@ def main():
     ap.add_argument("--turn", type=int, default=25)
     ap.add_argument("--loop", action="store_true")
     ap.add_argument("--no-map", action="store_true")
+    ap.add_argument("--map-search-every", type=int, default=None)
+    ap.add_argument("--rebuild-every", type=int, default=None)
+    ap.add_argument("--corner-weight", type=float, default=None)
+    ap.add_argument("--kf-gate", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -38,12 +42,18 @@ def main():
     from lego_loam_tpu.pipeline import LegoLoamPipeline
 
     cfg = vlp16()
+    mkw = dict(enable_loop_closure=args.loop)
+    if args.map_search_every is not None:
+        mkw["search_every"] = args.map_search_every
+    if args.rebuild_every is not None:
+        mkw["submap_rebuild_every"] = args.rebuild_every
+        mkw["submap_rebuild_dist"] = 0.0
+    if args.corner_weight is not None:
+        mkw["corner_weight"] = args.corner_weight
+    if args.kf_gate:
+        mkw["keyframe_gate_always"] = False
     cfg = dataclasses.replace(
-        cfg,
-        mapping=dataclasses.replace(
-            cfg.mapping,
-            enable_loop_closure=args.loop,
-        ),
+        cfg, mapping=dataclasses.replace(cfg.mapping, **mkw)
     )
 
     full = lap_trajectory(3, args.straight, args.turn)
@@ -77,12 +87,20 @@ def main():
         seg = "turn" if (k % per) >= args.straight else "straight"
         oe = np.linalg.norm(odom[k] - gt_t[k])
         me = np.linalg.norm(est[k] - gt_t[k]) if k < len(est) else float("nan")
-        r = recs[k] if k < len(recs) else {"min_lambda": np.nan, "iterations": -1, "cf_mean": np.nan}
+        r = recs[k] if k < len(recs) else {"min_lambda": np.nan, "iterations": -1, "cf_mean": np.nan, "rejected": False}
         print(
             f"{k:5d}  {seg:8s}  {oe:8.3f}  {me:8.3f}  {odom[k][2]:7.3f} "
             f"{est[k][2] if k < len(est) else np.nan:7.3f} "
             f"{r['min_lambda']:8.2f} {r['iterations']:3d} {r['cf_mean']:.4f}"
+            f"{' REJ' if r.get('rejected') else ''}"
         )
+
+    np.savez(
+        "/tmp/diag_traj.npz",
+        est=est, odom=odom, gt=gt_t,
+        prior=np.asarray(pipe.prior_positions) if getattr(pipe, "prior_positions", None) is not None else np.zeros((0, 3)),
+        minlam=np.array([r["min_lambda"] for r in recs]),
+    )
 
     # relative per-frame odometry motion error (is the front-end locally good?)
     d_est = np.diff(odom, axis=0)

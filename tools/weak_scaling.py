@@ -28,6 +28,10 @@ if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", "")
 
 import numpy as np
 import jax
+
+# The environment's sitecustomize force-registers the TPU backend; the env
+# var alone is ignored — switch through jax.config.
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 

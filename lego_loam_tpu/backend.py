@@ -147,11 +147,14 @@ def downsample_current_scan(features: ScanFeatures, outlier_xyz, outlier_mask, c
     """≙ downsampleCurrentScan (mapOptmization.cpp:1234-1267): corners at
     corner_leaf, surf+outlier at surf_leaf."""
     m = cfg.mapping
+    # radial_pack: output is truncated to max_corner_scan below — keep the
+    # voxels nearest the sensor, not the lowest-x slab (see ops/voxel.py).
     c_xyz, c_m = voxel_downsample_masked(
         features.corner_less_sharp.xyz,
         features.corner_less_sharp.mask,
         m.corner_leaf,
         cfg.pipeline.local_voxel_radius,
+        radial_pack=True,
     )
     s_all = jnp.concatenate([features.surf_less_flat.xyz, outlier_xyz], axis=0)
     s_mask = jnp.concatenate([features.surf_less_flat.mask, outlier_mask], axis=0)
@@ -171,15 +174,21 @@ def downsample_current_scan(features: ScanFeatures, outlier_xyz, outlier_mask, c
 
 def _select_keyframes(state: BackendState, center, cfg: LegoLoamConfig):
     """Submap keyframe selection (≙ extractSurroundingKeyFrames,
-    mapOptmization.cpp:1096-1232).
+    mapOptmization.cpp:1096-1232): nearest active keyframes within the
+    search radius.
 
-    Loop-closure mode: the surrounding_keyframe_search_num MOST-RECENT
-    keyframes (the reference's loop-closure branch) — after a lap, a
-    radius search mixes current-lap keyframes with drifted previous-lap
-    ones and the double-imaged submap tears the solver between the two
-    copies; temporal locality keeps the submap self-consistent and leaves
-    global consistency to the pose graph.
-    Otherwise: nearest active keyframes within the search radius."""
+    This radius search is the system's primary drift anchor: on a lap
+    revisit the submap contains PREVIOUS-lap keyframes, so scan-to-map
+    re-locks onto the old map instead of integrating on its own recent
+    history. (An r3/r4 "temporal window" variant used only the most-recent
+    keyframes under loop closure to avoid mixing drifted laps — measured
+    on the campus course it turns the mapping chain into a positive-
+    feedback integrator: map ATE crossed odometry ATE by frame ~570 and
+    diverged. Inter-lap drift larger than the 1 m NN gate makes old-lap
+    points unmatched, not harmful, and once the pose graph corrects them
+    they re-anchor the solve — the reference's loop-closure branch rebuilds
+    its submap from corrected poses the same way,
+    mapOptmization.cpp:1123-1151.)"""
     m = cfg.mapping
     K = state.kf_t.shape[0]
     sel = min(m.surrounding_keyframe_search_num, K)
@@ -188,12 +197,6 @@ def _select_keyframes(state: BackendState, center, cfg: LegoLoamConfig):
     lag = jnp.where(
         state.n_kf > 2 * m.submap_recency_lag + 5, m.submap_recency_lag, 0
     )
-    newest = state.n_kf - 1 - lag
-    if m.enable_loop_closure:
-        # slots of the sel most recent appends older than the lag
-        recent = (newest - jnp.arange(sel)) % K
-        valid = jnp.arange(sel) <= newest
-        return recent, valid
     # Slot age = appends since the slot's last write; excludes the lag-newest
     # slots correctly even after ring wrap.
     age = (state.n_kf - 1 - jnp.arange(K)) % K
@@ -274,6 +277,10 @@ def backend_step_ds(
     R_new, t_new, diag = scan_to_map(
         c_xyz, c_m, s_xyz, s_m, R_prior, t_prior, submap, cfg
     )
+    # Keep the committed map rotation ON SO(3): the pose chain is thousands
+    # of f32 3x3 products deep and non-orthogonality feeds back through the
+    # prior composition (see se3.orthonormalize).
+    R_new = se3.orthonormalize(R_new)
 
     # Keyframe gate (mapOptmization.cpp:1612-1630). Ring semantics: slot
     # n_kf % K, overwriting the oldest keyframe once the store is full.

@@ -346,6 +346,20 @@ class MappingConfig:
     loop_coarse_min_frac: float = 0.4
     loop_coarse_min_score: float = 5.0
     loop_icp_corr_dist: float = 2.0
+    # Acceptance gates on the refined loop ICP beyond the reference's raw
+    # fitness threshold. The fitness of a CORRECT alignment scales with the
+    # cloud's voxel leaf (~3 x leaf^2 mean-square correspondence distance:
+    # the reference's 0.5 gate ≈ 3 x its 0.4 m history-cloud leaf squared),
+    # so the effective gate is min(history_keyframe_fitness_score,
+    # loop_fitness_leaf_scale x less_flat_leaf^2) — a 0.55 m-RMS "alignment"
+    # of 0.2 m-leaf clouds is two walls glued together, not a loop (measured:
+    # campus false positives score 0.28-0.32, true revisits 0.004-0.014).
+    # loop_min_inlier_frac additionally requires that fraction of source
+    # points to hold a correspondence within loop_icp_corr_dist at the final
+    # ICP iterate — partial-overlap false positives fail coverage even when
+    # their matched subset fits well.
+    loop_fitness_leaf_scale: float = 3.0
+    loop_min_inlier_frac: float = 0.6
     global_map_every_n_frames: int = 5
     # Pose-graph noise model. The reference hardcodes chain VARIANCES of
     # 1e-6 rot / 1e-8 trans and a loop variance equal to the raw ICP fitness

@@ -30,6 +30,11 @@ class ICPResult(NamedTuple):
     fitness: jax.Array  # mean squared correspondence distance
     converged: jax.Array
     iterations: jax.Array
+    # Fraction of valid source points with a correspondence inside max_corr
+    # at the final iterate: partial-overlap false positives (two different
+    # walls glued together) show high fitness-only plausibility but low
+    # coverage — gate on this too (pipeline._try_loop_closure).
+    inlier_frac: jax.Array
 
 
 def icp_point2point(
@@ -50,11 +55,11 @@ def icp_point2point(
     t0 = jnp.zeros(3) if t0 is None else t0
 
     def cond(state):
-        it, _, _, done, _ = state
+        it, _, _, done, _, _ = state
         return (it < max_iters) & ~done
 
     def body(state):
-        it, R, t, _, _ = state
+        it, R, t, _, _, _ = state
         p = src @ R.T + t
         idx, d2 = chunked_top_k(p, src_mask, tgt, tgt_mask, 1)
         d2 = d2[:, 0]
@@ -78,14 +83,21 @@ def icp_point2point(
         t_new = dR @ t + dt
 
         fit = jnp.sum(d2 * w) / wsum
+        frac = jnp.sum(w) / jnp.maximum(jnp.sum(src_mask), 1)
         step = jnp.linalg.norm(dt) + jnp.linalg.norm(se3.log_so3(dR))
         done = step < 1e-6
-        return it + 1, R_new, t_new, done, fit
+        return it + 1, R_new, t_new, done, fit, frac
 
-    it, R, t, done, fit = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), R0, t0, jnp.bool_(False), jnp.float32(jnp.inf))
+    it, R, t, done, fit, frac = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), R0, t0, jnp.bool_(False), jnp.float32(jnp.inf),
+         jnp.float32(0)),
     )
-    return ICPResult(R=R, t=t, fitness=fit, converged=fit < m.history_keyframe_fitness_score, iterations=it)
+    return ICPResult(
+        R=R, t=t, fitness=fit,
+        converged=fit < m.history_keyframe_fitness_score, iterations=it,
+        inlier_frac=frac,
+    )
 
 
 def coarse_align_2d(

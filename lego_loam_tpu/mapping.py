@@ -69,6 +69,10 @@ class MapDiag(NamedTuple):
     n_surf: jax.Array
     # Whole-solve divergence rejection fired (pose fell back to the prior).
     rejected: jax.Array
+    # Submap fill + selected-correspondence counts (0 when mapping skipped).
+    n_submap_corner: jax.Array
+    n_submap_surf: jax.Array
+    n_sel: jax.Array
 
 
 def assemble_submap(
@@ -94,13 +98,18 @@ def assemble_submap(
 
     from .ops.voxel import voxel_downsample_masked
 
+    # radial_pack: the output is truncated to max_submap_* below — nearest-
+    # first ordering makes that truncation drop the FARTHEST voxels. Raw key
+    # order dropped an x-slab (including the scene ahead of the vehicle)
+    # whenever the campus-scale submap overflowed the cap, collapsing the
+    # solver's correspondence set lap by lap (r4 divergence root cause).
     c_xyz, c_m = voxel_downsample_masked(
         cw.reshape(-1, 3), cmask.reshape(-1), m.corner_leaf,
-        cfg.pipeline.local_voxel_radius, origin,
+        cfg.pipeline.local_voxel_radius, origin, radial_pack=True,
     )
     s_xyz, s_m = voxel_downsample_masked(
         sw.reshape(-1, 3), smask.reshape(-1), m.submap_surf_leaf,
-        cfg.pipeline.local_voxel_radius, origin,
+        cfg.pipeline.local_voxel_radius, origin, radial_pack=True,
     )
     return MapState(
         corner_xyz=c_xyz[: m.max_submap_corner],
@@ -230,14 +239,20 @@ def _surf_fit(q, q_mask, idx, submap: MapState, cfg: LegoLoamConfig):
     return gx, gy, gz, d_off, ok & plane_ok
 
 
-def _surf_residuals(q, fit):
+def _surf_residuals(q, fit, rn):
     """Pose-dependent surf residual vs the cached plane fit
-    (mapOptmization.cpp:1425-1442): runs every GN iteration."""
+    (mapOptmization.cpp:1425-1442): runs every GN iteration.
+
+    rn: (Q,) SENSOR-frame point range. The reference scales the robust
+    weight by the MAP-frame point magnitude (surfOptimization's pointSel
+    norm) — a quirk that is harmless when the map stays near the origin but
+    loosens the gate without bound as ‖t_map‖ grows (at 100 m from origin
+    a 9 m plane residual still gets weight 0.1). Range-based scaling keeps
+    the original intent (distant points are noisier) scale-invariantly."""
     gx, gy, gz, d_off, ok = fit
     qx, qy, qz = q[:, 0], q[:, 1], q[:, 2]
     pd = gx * qx + gy * qy + gz * qz + d_off
-    qn = jnp.sqrt(qx * qx + qy * qy + qz * qz)
-    s = 1.0 - 0.9 * jnp.abs(pd) / jnp.sqrt(jnp.maximum(qn, 1e-9))
+    s = 1.0 - 0.9 * jnp.abs(pd) / jnp.sqrt(jnp.maximum(rn, 1e-9))
     w = jnp.where(ok & (s > 0.1), s, 0.0)
     return (gx, gy, gz), pd, w
 
@@ -274,13 +289,16 @@ def scan_to_map(
     enough = (jnp.sum(submap.corner_mask) > m.min_corner_map) & (
         jnp.sum(submap.surf_mask) > m.min_surf_map
     )
+    # Sensor-frame range of each surf point (pose-independent): feeds the
+    # robust weight's range scaling (see _surf_residuals).
+    surf_rn = jnp.linalg.norm(surf_xyz, axis=1)
 
     def cond(state):
         it, done = state[0], state[3]
         return (it < min(m.iter_count_thres, m.max_gn_iterations)) & ~done
 
     def body(state):
-        it, R, t, _, _, _, fit_c, fit_s, P_proj, min_lam = state
+        it, R, t, _, _, _, fit_c, fit_s, P_proj, min_lam, _ = state
         qc = corner_xyz @ R.T + t
         qs = surf_xyz @ R.T + t
 
@@ -295,7 +313,7 @@ def scan_to_map(
             (it % m.search_every) == 0, refresh, lambda x: x, (fit_c, fit_s)
         )
         nc, dc, wc = _corner_residuals(qc, fit_c)
-        ns, ds_, ws = _surf_residuals(qs, fit_s)
+        ns, ds_, ws = _surf_residuals(qs, fit_s, surf_rn)
         if m.corner_weight != 1.0:
             wc = wc * m.corner_weight
 
@@ -355,7 +373,7 @@ def scan_to_map(
         cf_mean = jnp.sum(r_abs) / jnp.maximum(n_sel, 1)
         return (
             it + 1, R_new, t_new, done, min_lam, cf_mean, fit_c, fit_s,
-            P_proj, min_lam,
+            P_proj, min_lam, n_sel.astype(jnp.int32),
         )
 
     Qc = corner_xyz.shape[0]
@@ -366,10 +384,10 @@ def scan_to_map(
         jnp.int32(0), R0, t0, jnp.bool_(False), jnp.float32(0), jnp.float32(0),
         (zc, zc, zc, zc, zc, zc, jnp.zeros((Qc,), bool)),
         (zs, zs, zs, zs, jnp.zeros((Qs,), bool)),
-        jnp.eye(6), jnp.float32(0),
+        jnp.eye(6), jnp.float32(0), jnp.int32(0),
     )
-    it, R, t, _, min_lambda, cf_mean, _, _, _, _ = jax.lax.while_loop(
-        cond, body, init
+    it, R, t, _, min_lambda, cf_mean, _, _, _, _, n_sel_last = (
+        jax.lax.while_loop(cond, body, init)
     )
 
     # Whole-solve divergence gate: the map refinement of one 10 Hz frame is
@@ -394,6 +412,9 @@ def scan_to_map(
         n_corner=jnp.sum(corner_mask),
         n_surf=jnp.sum(surf_mask),
         rejected=rejected,
+        n_submap_corner=jnp.sum(submap.corner_mask).astype(jnp.int32),
+        n_submap_surf=jnp.sum(submap.surf_mask).astype(jnp.int32),
+        n_sel=n_sel_last,
     )
     return R, t, diag
 

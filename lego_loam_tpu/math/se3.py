@@ -131,6 +131,24 @@ def relative(Ra, ta, Rb, tb):
     return compose(Rinv, tinv, Rb, tb)
 
 
+def orthonormalize(R):
+    """Project (...,3,3) near-rotations back onto SO(3).
+
+    Two Newton iterations for the polar factor: R <- R (3I - R^T R)/2.
+    Quadratically convergent for ||R^T R - I|| < 1; exact rotations are
+    fixed points to rounding. The map pose is a 2000+-deep chain of f32
+    3x3 products per campus run — without periodic re-projection the
+    accumulated non-orthogonality FEEDS BACK through prior composition
+    (t += R @ dt scales with ||R||) and grows exponentially once scan-to-
+    map correction is lost (r4 campus tail: ||t|| reached 4e5 m with per-
+    frame odometry increments of 0.12 m). The reference's euler-angle
+    state (transformTobeMapped[6]) cannot leave SO(3) by construction."""
+    I = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)
+    for _ in range(2):
+        R = R @ (1.5 * I - 0.5 * (jnp.swapaxes(R, -1, -2) @ R))
+    return R
+
+
 def transform(R, t, p):
     """Apply (R, t) to points p (...,3) (R,t broadcast over leading dims)."""
     return jnp.einsum("...ij,...j->...i", R, p) + t

@@ -537,10 +537,15 @@ def two_step_odometry(
     if o.accel_cap > 0:
         # Speed trust region vs the warm start (constant-velocity model):
         # see OdometryConfig.accel_cap. Direction is kept; only |t| is
-        # clamped into [prev - cap, prev + cap].
+        # clamped into [prev - cap, prev + cap]. Cold-start bypass: an
+        # EXACTLY zero warm start only happens before any motion estimate
+        # exists (a noisy stationary solve leaves ~noise-scale speed), and
+        # clamping the very first solve to the cap would take 0.12 m/frame
+        # ground truth to 0.03 (measured; test_frontend).
         prev_sp = jnp.linalg.norm(M_t_init)
         sp = jnp.linalg.norm(t)
         tgt_sp = jnp.clip(sp, prev_sp - o.accel_cap, prev_sp + o.accel_cap)
+        tgt_sp = jnp.where(prev_sp > 1e-6, tgt_sp, sp)
         t = t * (tgt_sp / jnp.maximum(sp, 1e-9))
     return R, t
 

@@ -49,7 +49,8 @@ def _seg_sum_to_first(vals, last):
 
 
 def voxel_downsample_masked(
-    xyz, mask, leaf: float, radius: float, origin=None, extras=None
+    xyz, mask, leaf: float, radius: float, origin=None, extras=None,
+    radial_pack: bool = False,
 ):
     """(N,3), (N,) -> (N,3), (N,): voxel-centroid cloud, one point per
     occupied voxel, packed to the front of the output arrays.
@@ -58,6 +59,14 @@ def voxel_downsample_masked(
     operands (a separate argsort + 3-column gather measured 4x slower on
     TPU), run centroids come from a segmented associative scan, and the
     final compaction is a second carrying sort on the run-first flag.
+
+    radial_pack: order the packed output by Chebyshev voxel distance from
+    the grid origin instead of raw key order. A caller that truncates the
+    output to a capacity then drops the FARTHEST voxels — with raw
+    (x-major) key order, truncation removes an axis-aligned slab of the
+    scene, which silently deleted the half of the submap ahead of the
+    vehicle once the campus-scale submap overflowed its cap and collapsed
+    the mapping solver (r4 root cause; see assemble_submap).
 
     extras: optional sequence of (N,) float arrays pooled by per-voxel mean
     and returned (packed like the points) as a list after the mask — used to
@@ -84,8 +93,20 @@ def voxel_downsample_masked(
     cx, cy, cz = totals[0] / cnt, totals[1] / cnt, totals[2] / cnt
     ext_means = [totals[4 + i] / cnt for i in range(len(extras))]
 
-    # Compact run-firsts to the front, preserving key (spatial) order.
-    pack_key = jnp.where(first, key_s, jnp.int32(0x7FFFFFFF))
+    # Compact run-firsts to the front: raw key (spatial) order, or
+    # nearest-first when radial_pack (see docstring).
+    if radial_pack:
+        n_half = int(radius / leaf)
+        vx = (key_s >> 20) & 1023
+        vy = (key_s >> 10) & 1023
+        vz = key_s & 1023
+        r = jnp.maximum(
+            jnp.maximum(jnp.abs(vx - n_half), jnp.abs(vy - n_half)),
+            jnp.abs(vz - n_half),
+        )
+        pack_key = jnp.where(first, r, jnp.int32(0x7FFFFFFF))
+    else:
+        pack_key = jnp.where(first, key_s, jnp.int32(0x7FFFFFFF))
     _, ox, oy, oz, *oext = jax.lax.sort(
         (pack_key, cx, cy, cz, *ext_means), num_keys=1
     )

@@ -428,9 +428,10 @@ class LegoLoamPipeline:
             else:
                 def skip(bs):
                     z = jnp.float32(0)
+                    zi = jnp.int32(0)
                     return bs, MapDiag(
-                        jnp.int32(0), z, z, jnp.bool_(False),
-                        jnp.int32(0), jnp.int32(0), jnp.bool_(False),
+                        zi, z, z, jnp.bool_(False),
+                        zi, zi, jnp.bool_(False), zi, zi, zi,
                     )
 
                 bstate, diag = jax.lax.cond(
@@ -650,6 +651,81 @@ class LegoLoamPipeline:
         self._mapped_frames += self._chunk_mapped_prev
         self._maybe_publish_global_map()
 
+    def warmup_loop_closure(self):
+        """Compile the loop-closure machinery at production shapes.
+
+        First-touch compiles of the coarse aligner, loop ICP, pose-graph
+        solver, cost probe, and snapshot copier cost minutes on the
+        relay-attached TPU and previously landed mid-run on the first
+        candidate chunk (~274 s of the r4 campus run's 308 s total sat in
+        the 5 chunks where this machinery compiled). Call once before the
+        timed region; no-op when loop closure is disabled."""
+        cfg = self.cfg
+        if not cfg.mapping.enable_loop_closure:
+            return
+        from .backend import KF_CORNER_CAP, KF_SURF_CAP
+
+        h = cfg.mapping.history_keyframe_search_num // 2
+        Wn = 2 * h + 1
+        eye = jnp.eye(3)
+        zero3 = jnp.zeros(3)
+        jax.block_until_ready(self._coarse(
+            jnp.zeros((KF_CORNER_CAP, 3)), jnp.zeros((KF_CORNER_CAP,), bool),
+            jnp.zeros((Wn * KF_CORNER_CAP, 3)),
+            jnp.zeros((Wn * KF_CORNER_CAP,), bool),
+        ))
+        jax.block_until_ready(self._icp(
+            jnp.zeros((KF_SURF_CAP, 3)), jnp.zeros((KF_SURF_CAP,), bool),
+            jnp.zeros((Wn * KF_SURF_CAP, 3)),
+            jnp.zeros((Wn * KF_SURF_CAP,), bool),
+            eye, zero3,
+        ))
+        if self._loop_snap_copy is None:
+            self._loop_snap_copy = jax.jit(
+                lambda a, b, c: (a + 0.0, b + 0.0, c + 0)
+            )
+        jax.block_until_ready(self._loop_snap_copy(
+            self.bstate.kf_t, self.bstate.kf_time, self.bstate.n_kf
+        ))
+        # Pose-graph solve + cost at the fixed padded factor capacity the
+        # real _optimize_graph uses (chain K-1 + max_loop_factors).
+        K = self.bstate.capacity
+        F = K - 1 + cfg.mapping.max_loop_factors
+        if self._solve_graph_sharded is not None:
+            F += (-F) % self._mesh.devices.size
+        factors = Factors(
+            i=jnp.zeros((F,), jnp.int32),
+            j=jnp.zeros((F,), jnp.int32),
+            R=jnp.tile(eye[None], (F, 1, 1)),
+            t=jnp.zeros((F, 3)),
+            info=jnp.ones((F, 6)),
+            mask=jnp.zeros((F,), bool),
+        )
+        active = jnp.arange(K) < 1
+        if self._solve_graph_sharded is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            spec = NamedSharding(self._mesh, P(("graph", "map")))
+            rep = NamedSharding(self._mesh, P())
+            fsh = jax.tree.map(lambda x: jax.device_put(x, spec), factors)
+            jax.block_until_ready(self._solve_graph_sharded(
+                jax.device_put(self.bstate.kf_R, rep),
+                jax.device_put(self.bstate.kf_t, rep),
+                fsh,
+                jax.device_put(active, rep),
+            ))
+        else:
+            jax.block_until_ready(self._solve_graph(
+                self.bstate.kf_R, self.bstate.kf_t, factors, active
+            ))
+        if self._graph_cost is None:
+            from .posegraph import graph_cost
+
+            self._graph_cost = jax.jit(graph_cost)
+        jax.block_until_ready(self._graph_cost(
+            self.bstate.kf_R, self.bstate.kf_t, factors
+        ))
+
     def request_stop(self):
         """≙ the /initialpose callback (mapOptmization.cpp:437-456): flags the
         run loop to end so a re-localization session can start."""
@@ -758,6 +834,10 @@ class LegoLoamPipeline:
             stacked["rejected"] = cat(
                 [d.rejected.astype(jnp.int32) for d in log["diag"]], 0, (0,)
             )
+            for f in ("n_submap_corner", "n_submap_surf", "n_sel"):
+                stacked[f] = cat(
+                    [getattr(d, f) for d in log["diag"]], 0, (0,)
+                )
         host = jax.device_get(stacked)
 
         self.odom_positions = host["odom_t"]
@@ -785,6 +865,9 @@ class LegoLoamPipeline:
                     "min_lambda": float(host["min_lambda"][k]),
                     "cf_mean": float(host["cf_mean"][k]),
                     "rejected": bool(host["rejected"][k]),
+                    "n_submap_corner": int(host["n_submap_corner"][k]),
+                    "n_submap_surf": int(host["n_submap_surf"][k]),
+                    "n_sel": int(host["n_sel"][k]),
                     "frame": k,
                 }
                 for k in range(n_map)
@@ -927,7 +1010,17 @@ class LegoLoamPipeline:
         res = jax.device_get(res)
         self.loop_diag[-1]["icp_fitness"] = float(res.fitness)
         self.loop_diag[-1]["icp_iters"] = int(res.iterations)
-        if float(res.fitness) > cfg.mapping.history_keyframe_fitness_score:
+        self.loop_diag[-1]["icp_inlier_frac"] = float(res.inlier_frac)
+        # Leaf-scaled fitness gate + coverage gate (see MappingConfig.
+        # loop_fitness_leaf_scale / loop_min_inlier_frac).
+        gate = min(
+            cfg.mapping.history_keyframe_fitness_score,
+            cfg.mapping.loop_fitness_leaf_scale
+            * cfg.features.less_flat_leaf ** 2,
+        )
+        if float(res.fitness) > gate:
+            return
+        if float(res.inlier_frac) < cfg.mapping.loop_min_inlier_frac:
             return
         self.loop_diag[-1]["accepted"] = True
 
@@ -1073,6 +1166,7 @@ class LegoLoamPipeline:
         if not ok:
             return
         newest = int(slots[-1])
+        newR = se3.orthonormalize(newR)
         self.bstate = self.bstate.replace(
             kf_R=newR,
             kf_t=newt,

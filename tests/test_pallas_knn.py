@@ -30,6 +30,43 @@ def test_matches_bruteforce_exactly():
     assert (idx == ref_idx).mean() > 0.999  # ties may reorder
 
 
+def test_grouped_selection_on_sorted_targets():
+    """groups=16 (the production mapping setting, mapping.py::_nn5) on
+    spatially sorted targets: indices must be self-consistent with the
+    returned distances, and the approximation's mean 5-NN distance error
+    vs exact must stay at the millimeter scale (the regime the groups=16
+    comment in mapping._nn5 claims; previously unguarded by CI)."""
+    rs = np.random.RandomState(2)
+    Q, T, k = 512, 4096, 5
+    q = rs.uniform(-10, 10, (Q, 3)).astype(np.float32)
+    t = rs.uniform(-10, 10, (T, 3)).astype(np.float32)
+    # voxel-sort the targets (the submap assembly emits key-sorted points —
+    # the spatial locality the grouped selection relies on)
+    key = np.floor((t + 15.0) / 0.4).astype(np.int64)
+    t = t[np.lexsort((key[:, 2], key[:, 1], key[:, 0]))]
+    mask = np.ones(T, bool)
+
+    idx, d2 = pallas_topk_l2(
+        jnp.asarray(q), jnp.asarray(t), jnp.asarray(mask),
+        k=k, q_tile=256, t_tile=2048, groups=16, interpret=True,
+    )
+    idx = np.asarray(idx)
+    d2 = np.asarray(d2)
+
+    # index/distance self-consistency: d2 really is ||q - t[idx]||^2
+    gd = ((q[:, None, :] - t[idx]) ** 2).sum(-1)
+    np.testing.assert_allclose(d2, gd, rtol=1e-3, atol=1e-3)
+
+    bf = np.array(pairwise_sqdist(jnp.asarray(q), jnp.asarray(t)))
+    ref_d = np.sort(bf, axis=1)[:, :k]
+    # grouped selection can drop same-residue collisions: bound the mean
+    # extra 5-NN distance, not exactness
+    err = np.sqrt(np.maximum(d2, 0)) - np.sqrt(np.maximum(ref_d, 0))
+    assert err.min() > -1e-3  # never better than exact
+    assert err.mean() < 2e-3, err.mean()  # ~mm mean inflation
+    assert (np.isclose(d2, ref_d, rtol=1e-4, atol=1e-4)).mean() > 0.9
+
+
 def test_all_masked_targets():
     rs = np.random.RandomState(1)
     q = rs.randn(256, 3).astype(np.float32)

@@ -19,6 +19,8 @@ import sys
 import time
 
 sys.path.insert(0, ".")
+import os as _os
+sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
 
 import numpy as np
 
@@ -62,12 +64,26 @@ def main():
     n = len(poses)
     print(f"rendering {n} swept scans ...", flush=True)
     t0 = time.perf_counter()
-    scans = []
-    for i in range(n):
-        p0 = poses[i - 1] if i > 0 else poses[i]
-        scans.append(
-            render_scan_swept(p0, poses[i], cfg, world, noise=0.01, seed=100 + i)
-        )
+
+    def render():
+        out = []
+        for i in range(n):
+            p0 = poses[i - 1] if i > 0 else poses[i]
+            out.append(
+                render_scan_swept(
+                    p0, poses[i], cfg, world, noise=0.01, seed=100 + i
+                )
+            )
+        return out
+
+    from scan_cache import get_or_render
+
+    scans = get_or_render(
+        "campus",
+        {"n": n, "straight": args.straight, "turn": args.turn,
+         "laps": args.laps},
+        render,
+    )
     print(f"rendered in {time.perf_counter() - t0:.1f}s", flush=True)
 
     pipe = LegoLoamPipeline(cfg)
@@ -77,6 +93,11 @@ def main():
     prepped = [
         pipe._prep_many(scans[s:s + C]) for s in range(0, n - n % C, C)
     ]
+
+    print("warming loop-closure machinery ...", flush=True)
+    t0 = time.perf_counter()
+    pipe.warmup_loop_closure()
+    print(f"warmed in {time.perf_counter() - t0:.1f}s", flush=True)
 
     t_start = time.perf_counter()
     t_warm = None  # set after the first chunk completes (compile excluded)

@@ -11,6 +11,8 @@ import sys
 import time
 
 sys.path.insert(0, ".")
+import os as _os
+sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
 
 import numpy as np
 
@@ -61,12 +63,25 @@ def main():
     poses = full[: args.frames]
     n = len(poses)
     print(f"rendering {n} swept scans ...", flush=True)
-    scans = []
-    for i in range(n):
-        p0 = poses[i - 1] if i > 0 else poses[i]
-        scans.append(
-            render_scan_swept(p0, poses[i], cfg, world, noise=0.01, seed=100 + i)
-        )
+
+    def render():
+        out = []
+        for i in range(n):
+            p0 = poses[i - 1] if i > 0 else poses[i]
+            out.append(
+                render_scan_swept(
+                    p0, poses[i], cfg, world, noise=0.01, seed=100 + i
+                )
+            )
+        return out
+
+    from scan_cache import get_or_render
+
+    scans = get_or_render(
+        "campus",
+        {"n": n, "straight": args.straight, "turn": args.turn, "laps": 3},
+        render,
+    )
 
     pipe = LegoLoamPipeline(cfg)
     t0 = time.perf_counter()
@@ -81,7 +96,7 @@ def main():
 
     # per-frame odometry error + yaw error
     per = args.straight + args.turn
-    print("\nframe  seg        odom_err   map_err   z_odom   z_map  minlam  iters cf")
+    print("\nframe  seg        odom_err   map_err   z_odom   z_map  minlam  iters cf      sm_c  sm_s   nsel")
     recs = pipe.diagnostics["records"]
     for k in range(0, n, 8):
         seg = "turn" if (k % per) >= args.straight else "straight"
@@ -92,8 +107,18 @@ def main():
             f"{k:5d}  {seg:8s}  {oe:8.3f}  {me:8.3f}  {odom[k][2]:7.3f} "
             f"{est[k][2] if k < len(est) else np.nan:7.3f} "
             f"{r['min_lambda']:8.2f} {r['iterations']:3d} {r['cf_mean']:.4f}"
+            f" {r.get('n_submap_corner', -1):5d} {r.get('n_submap_surf', -1):6d}"
+            f" {r.get('n_sel', -1):5d}"
             f"{' REJ' if r.get('rejected') else ''}"
         )
+
+    if args.loop:
+        acc = [d for d in pipe.loop_diag if d.get("accepted")]
+        print(f"\nloop checks: {len(pipe.loop_diag)}  accepted: {len(acc)}")
+        for d in pipe.loop_diag:
+            if d.get("cand", -1) >= 0:
+                print("  ", {k: (round(v, 3) if isinstance(v, float) else v)
+                             for k, v in d.items() if k != "graph_cost"})
 
     np.savez(
         "/tmp/diag_traj.npz",

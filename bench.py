@@ -1,20 +1,33 @@
-"""Benchmark: full odometry+mapping throughput on one real chip.
+"""Benchmark: full odometry+mapping+loop-closure throughput on one real chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 Baseline = the reference's mean map-optimization runtime of 50.16 ms/frame
 (`Result/0318_test/mapt.txt`, BASELINE.md) -> 19.94 scans/s. The north-star
 target is >=100 scans/s/chip (BASELINE.json).
 
-The bench drives the complete per-scan path (projection, ground removal,
-segmentation, feature extraction, two-step scan-to-scan GN, scan-to-map GN,
-keyframe append) over a synthetic Jackal-like drive, steady-state timed after
-warmup/compilation. Frames are processed strictly sequentially (scan t+1's
-initial guess depends on scan t's pose) via the device-resident chunked
-runner: `lax.scan` over chunks of scans, one host dispatch per chunk
-(`pipeline.py::process_chunk`). Host->device feed (one bulk transfer per
-chunk) is included in the timed region.
+Two named figures (VERDICT r4 #2 — the r4 bench claimed its course never
+revisits while its 1 deg/frame yaw rate closed a circle mid-run):
+
+- FLAGSHIP ("value"): a 2-lap rectangular campus course whose second lap
+  genuinely revisits the first (lap time 70 s > the 30 s loop_time_gap), so
+  candidate detection, coarse/ICP verification attempts, accepted closures
+  and reduced pose-graph solves all land INSIDE the timed region — the same
+  configuration and course family as tools/campus_run.py, at the same
+  max_keyframes.
+- "straight_scans_per_sec": a genuinely straight course (yaw_rate=0, never
+  revisits) measuring pure pipeline cost with the loop machinery armed but
+  never firing.
+
+Both drive the complete per-scan path (projection, ground removal,
+segmentation, features, two-step scan-to-scan GN, scan-to-map GN, keyframe
+append) through the device-resident chunked runner (`pipeline.
+process_chunk`), frames strictly sequential, host->device feed inside the
+timed region (double-buffered by the stager thread). Host-side fixed-shape
+packing is excluded, as is the reference's DDS deserialize from its
+50.16 ms/frame.
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -23,6 +36,38 @@ import time
 import numpy as np
 
 REFERENCE_SCANS_PER_SEC = 1000.0 / 50.16
+
+
+def run_course(pipe, prepped, n_warm_chunks, chunk):
+    """Warm the first chunks, then time the rest. Returns scans/s."""
+    import jax
+
+    for c in range(n_warm_chunks):
+        pipe.process_chunk(prepped[c])
+    # device_get, not block_until_ready: the latter has been observed to
+    # return before execution completes on the relay-attached TPU, which
+    # would silently shrink the timed region.
+    jax.device_get(pipe.bstate.t_map)
+
+    n_meas_chunks = len(prepped) - n_warm_chunks
+    t0 = time.perf_counter()
+    nxt = pipe.stage_chunk_async(prepped[n_warm_chunks])
+    for c in range(n_warm_chunks, len(prepped)):
+        cur = nxt.result()
+        if c + 1 < len(prepped):
+            nxt = pipe.stage_chunk_async(prepped[c + 1])
+        pipe.process_chunk(cur)
+    jax.device_get(pipe.bstate.t_map)
+    dt = time.perf_counter() - t0
+    return n_meas_chunks * chunk / dt
+
+
+def build_pipe(cfg):
+    from lego_loam_tpu.pipeline import LegoLoamPipeline
+
+    pipe = LegoLoamPipeline(cfg)
+    pipe.warmup_loop_closure()
+    return pipe
 
 
 def main():
@@ -34,73 +79,95 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
-    import dataclasses
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+    from scan_cache import get_or_render
 
     from lego_loam_tpu.config import vlp16
-    from lego_loam_tpu.io.synthetic import straight_trajectory, swept_scan_sequence
-    from lego_loam_tpu.pipeline import LegoLoamPipeline
+    from lego_loam_tpu.io.synthetic import (
+        campus_world,
+        lap_trajectory,
+        straight_trajectory,
+        swept_scan_sequence,
+    )
 
-    # FLAGSHIP configuration: loop closure ON (VERDICT r3 weak #2 — the
-    # bench must measure the config the campus artifact runs). The straight
-    # course never revisits, so no closure fires, but every per-chunk cost
-    # of the loop machinery (snapshot copy, deferred device_get, host
-    # candidate scan) is inside the timed region; the coarse/ICP/graph
-    # compiles are pre-warmed exactly as tools/campus_run.py does.
+    # FLAGSHIP configuration: loop closure ON at the campus run's
+    # max_keyframes (VERDICT r4 weak #5 — the perf number must be measured
+    # at the config that produces the accuracy number).
     cfg = vlp16()
     cfg = dataclasses.replace(
-        cfg, mapping=dataclasses.replace(cfg.mapping, enable_loop_closure=True)
+        cfg,
+        mapping=dataclasses.replace(
+            cfg.mapping, enable_loop_closure=True, max_keyframes=20480
+        ),
     )
-    chunk = int(os.environ.get("BENCH_CHUNK", "16"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "32"))
     n_warm_chunks = int(os.environ.get("BENCH_WARMUP_CHUNKS", "2"))
-    n_meas_chunks = int(os.environ.get("BENCH_CHUNKS", "20"))
-    n = (n_warm_chunks + n_meas_chunks) * chunk
 
-    # Motion-distorted sweeps (each scan rendered while the sensor moves),
-    # so the production rel_time warp path is what gets measured.
-    poses = straight_trajectory(n, speed=0.15, yaw_rate=np.deg2rad(1.0))
-    scans = list(swept_scan_sequence(poses, cfg, noise=0.01, seed=11))
+    # ---- course A: genuinely straight, never revisits ----------------------
+    n_straight = (n_warm_chunks + int(os.environ.get("BENCH_CHUNKS", "20"))) * chunk
+    poses_s = straight_trajectory(n_straight, speed=0.15, yaw_rate=0.0)
+    scans_s = get_or_render(
+        "bench_straight",
+        {"n": n_straight, "v": 2},
+        lambda: list(swept_scan_sequence(poses_s, cfg, noise=0.01, seed=11)),
+    )
 
-    pipe = LegoLoamPipeline(cfg)
+    # ---- course B (flagship): 2-lap campus rectangle, lap time 70 s --------
+    laps, straight_f, turn_f = 2, 150, 25
+    poses_l = lap_trajectory(laps, straight_f, turn_f)
+    n_lap = len(poses_l) - len(poses_l) % chunk
+    poses_l = poses_l[:n_lap]
+    world = campus_world(poses_l)
 
-    # Host-side fixed-shape packing excluded from the timed region (the
-    # reference's equivalent — DDS deserialize + pcl::fromROSMsg — is also
-    # outside its 50.16 ms/frame mapping time).
+    def render_lap():
+        out = []
+        for i in range(n_lap):
+            p0 = poses_l[i - 1] if i > 0 else poses_l[i]
+            from lego_loam_tpu.io.synthetic import render_scan_swept
+
+            out.append(
+                render_scan_swept(
+                    p0, poses_l[i], cfg, world, noise=0.01, seed=100 + i
+                )
+            )
+        return out
+
+    scans_l = get_or_render(
+        "bench_lap",
+        {"n": n_lap, "straight": straight_f, "turn": turn_f, "laps": laps,
+         "v": 2},
+        render_lap,
+    )
+
+    # ---- measure -----------------------------------------------------------
+    pipe = build_pipe(cfg)
     prepped = [
-        pipe._prep_many(scans[s : s + chunk]) for s in range(0, n, chunk)
+        pipe._prep_many(scans_s[s: s + chunk])
+        for s in range(0, n_straight, chunk)
     ]
+    straight_sps = run_course(pipe, prepped, n_warm_chunks, chunk)
 
-    pipe.warmup_loop_closure()
-    for c in range(n_warm_chunks):
-        pipe.process_chunk(prepped[c])
-    # device_get, not block_until_ready: the latter has been observed to
-    # return before execution completes on the relay-attached TPU, which
-    # would silently shrink the timed region.
-    jax.device_get(pipe.bstate.t_map)
+    pipe = build_pipe(cfg)  # fresh state; compiles are already cached
+    prepped = [
+        pipe._prep_many(scans_l[s: s + chunk]) for s in range(0, n_lap, chunk)
+    ]
+    lap_sps = run_course(pipe, prepped, n_warm_chunks, chunk)
+    closures = len(pipe.loop_factors)
+    attempts = sum(
+        1 for d in pipe.loop_diag if "icp_fitness" in d or "coarse_score" in d
+    )
 
-    # Double-buffered feed: chunk c+1's host->device transfer runs in the
-    # pipeline's stager thread while chunk c executes on device (a
-    # main-thread jnp.asarray would block for the full transfer — no
-    # overlap). The transfers stay inside the timed region; only their
-    # latency is hidden, as any real deployment would.
-    t0 = time.perf_counter()
-    nxt = pipe.stage_chunk_async(prepped[n_warm_chunks])
-    for c in range(n_warm_chunks, n_warm_chunks + n_meas_chunks):
-        cur = nxt.result()
-        if c + 1 < n_warm_chunks + n_meas_chunks:
-            nxt = pipe.stage_chunk_async(prepped[c + 1])
-        pipe.process_chunk(cur)
-    jax.device_get(pipe.bstate.t_map)
-    dt = time.perf_counter() - t0
-
-    n_meas = n_meas_chunks * chunk
-    scans_per_sec = n_meas / dt
     print(
         json.dumps(
             {
                 "metric": "scans_per_sec_per_chip",
-                "value": round(scans_per_sec, 2),
+                "value": round(lap_sps, 2),
                 "unit": "scans/s",
-                "vs_baseline": round(scans_per_sec / REFERENCE_SCANS_PER_SEC, 3),
+                "vs_baseline": round(lap_sps / REFERENCE_SCANS_PER_SEC, 3),
+                "straight_scans_per_sec": round(straight_sps, 2),
+                "lap_frames": n_lap,
+                "loop_attempts": attempts,
+                "loop_closures": closures,
             }
         )
     )

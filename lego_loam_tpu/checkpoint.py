@@ -84,4 +84,5 @@ def load(pipe: LegoLoamPipeline, path: str) -> LegoLoamPipeline:
         )
         for f in meta["loop_factors"]
     ]
+    pipe._sync_loop_buf()  # device loop-factor buffer mirrors the host list
     return pipe

@@ -216,6 +216,11 @@ class OdometryConfig:
     # 5-NN covariance line fit for the corner stage (odometry.corner_search5)
     corner_nn_max_dist: float = 2.0
     corner_line_ratio: float = 3.0
+    # Full-6DoF odometry ablation (≙ the reference's full
+    # calculateTransformation kept alongside the two-step split,
+    # featureAssociation.cpp:2145-2289): lift the per-stage DOF masks so
+    # both passes solve all six degrees of freedom.
+    full_dof_odometry: bool = False
     # Wheel-odometry prior mode (fork's updateInitialGuess, :2337-2503).
     # "off": pure LM (upstream behaviour, default here)
     # "init": prior seeds LM (upstream-intended behaviour)
@@ -373,6 +378,23 @@ class MappingConfig:
     chain_rot_var: float = 1e-5
     chain_trans_var: float = 1e-3
     loop_noise_scale: float = 0.01
+    # Anchor-segment reduced pose-graph solve (posegraph.reduced_solve, the
+    # production loop-closure path — ≙ iSAM2's incrementality budget,
+    # mapOptmization.cpp:63-66): segments of `stride` keyframes are composed
+    # into single between-factors and the reduced graph (K/stride anchors)
+    # is solved EXACTLY with dense GN — per-accept cost is O(1) in graph
+    # diameter, unlike the PCG whole-graph path. Stride 16 ≈ 5 m segments;
+    # falls back to 1 (no reduction) when max_keyframes % stride != 0.
+    posegraph_anchor_stride: int = 16
+    posegraph_gn_iters: int = 3
+    posegraph_trust_rot: float = 0.3
+    posegraph_trust_trans: float = 5.0
+    # Loop-closure ICP iteration budget (separate from the generic
+    # icp_max_iterations): the coarse 2-D alignment already recovered the
+    # inter-lap drift, so the refinement converges in a handful of steps;
+    # 100 reference-parity iterations only burn device time on the async
+    # attempt path.
+    loop_icp_max_iterations: int = 30
 
 
 @dataclasses.dataclass(frozen=True)

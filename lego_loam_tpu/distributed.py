@@ -216,6 +216,196 @@ def sharded_pose_graph_solver(mesh: Mesh, cfg: LegoLoamConfig, gn_iters: int = 3
 
 
 # ---------------------------------------------------------------------------
+# Schur-reduction distributed pose graph (weak-scaling production path)
+# ---------------------------------------------------------------------------
+
+
+def schur_pose_graph_solver(
+    mesh: Mesh,
+    cfg: LegoLoamConfig,
+    n_poses: int,
+    stride: int = 16,
+    gn_iters: int = 3,
+    prior_w: float = 1e6,
+    reduced: str = "auto",
+):
+    """Distributed chain+loop pose-graph solve by segment (Schur-style)
+    reduction — the north star's "one reduction + local solves" design,
+    replacing the factor-parallel PCG whose per-iteration psum is
+    latency-bound (round-4 weak scaling: 47% @2 dev, 9% @8 dev).
+
+    Layout: poses and chain rels are sharded contiguously over a 1-D mesh
+    axis "seg"; loop factors (<= max_loop_factors) are replicated. One solve
+    costs exactly FOUR collectives total, all outside the GN loop:
+      1. ppermute of one rel row (segment boundaries),
+      2. psum of the loop-factor anchor offsets (each contributed by its
+         owner),
+      3. all_gather of the reduced system (anchor poses + composed segment
+         factors, ~100 B per anchor),
+      4. psum broadcasting the leader's reduced solution.
+    The reduced anchor graph is solved ONCE on device 0 (lax.cond — the
+    others idle rather than burn ndev x redundant work) and corrections
+    propagate to local poses rigidly (zero communication).
+
+    rel[l] measures pose l-1 -> l (identity at l=0). Returns a jitted
+    (poses_R, poses_t, rel_R, rel_t, n_active, loop_factors) -> (R, t).
+
+    `reduced` picks the replicated anchor-level solver: "dense" (exact LU,
+    O(A^3) — right while the reduced system is small), "pcg" (fixed
+    iteration budget, O(A) per iteration — right once A_tot grows with the
+    mesh, keeping per-solve cost flat under weak scaling), or "auto"
+    (dense up to 256 anchors)."""
+    from .posegraph import solve_dense_gn, solve_pose_graph
+
+    axis = mesh.axis_names[0]
+    nd = mesh.devices.size
+    assert n_poses % (nd * stride) == 0, (n_poses, nd, stride)
+    P_loc = n_poses // nd
+    A_loc = P_loc // stride
+    A_tot = A_loc * nd
+    m = cfg.mapping
+    eye = jnp.eye(3, dtype=jnp.float32)
+
+    pspec = P(axis)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(pspec, pspec, pspec, pspec, P(), Factors(
+            i=P(), j=P(), R=P(), t=P(), info=P(), mask=P(),
+        )),
+        out_specs=(pspec, pspec),
+        check_vma=False,
+    )
+    def solve(R_loc, t_loc, relR_loc, relt_loc, n_active, loop: Factors):
+        d = jax.lax.axis_index(axis)
+        base = d * P_loc
+
+        # --- collective 1: rel shift across the boundary -------------------
+        # Segment s uses rels (sS, (s+1)S]; the last local segment needs the
+        # NEXT device's first rel (which measures my last pose -> its first).
+        perm = [(i, (i - 1) % nd) for i in range(nd)]
+        nbrR = jax.lax.ppermute(relR_loc[:1], axis, perm)
+        nbrt = jax.lax.ppermute(relt_loc[:1], axis, perm)
+        relR_s = jnp.concatenate([relR_loc[1:], nbrR], axis=0)
+        relt_s = jnp.concatenate([relt_loc[1:], nbrt], axis=0)
+
+        segR = relR_s.reshape(A_loc, stride, 3, 3).transpose(1, 0, 2, 3)
+        segt = relt_s.reshape(A_loc, stride, 3).transpose(1, 0, 2)
+
+        def comp(carry, rel):
+            MR, Mt = carry
+            return se3.compose(MR, Mt, rel[0], rel[1]), None
+
+        (M_R, M_t), _ = jax.lax.scan(
+            comp,
+            (jnp.tile(eye[None], (A_loc, 1, 1)), jnp.zeros((A_loc, 3))),
+            (segR, segt),
+        )
+
+        Ra_loc = R_loc[::stride]
+        ta_loc = t_loc[::stride]
+
+        # --- collective 2: loop-factor anchor offsets ----------------------
+        # Each endpoint's intra-segment offset O = T_anchor^{-1} T_pose is
+        # computed by the device owning the pose and psum'd (all other
+        # devices contribute zeros).
+        def local_offset(ids):
+            local = (ids >= base) & (ids < base + P_loc)
+            li = jnp.clip(ids - base, 0, P_loc - 1)
+            ai = li // stride
+            OR, Ot = se3.relative(
+                Ra_loc[ai], ta_loc[ai], R_loc[li], t_loc[li]
+            )
+            OR = jnp.where(local[:, None, None], OR, 0.0)
+            Ot = jnp.where(local[:, None], Ot, 0.0)
+            return OR, Ot
+
+        OiR, Oit = local_offset(loop.i)
+        OjR, Ojt = local_offset(loop.j)
+        OiR, Oit, OjR, Ojt = jax.lax.psum((OiR, Oit, OjR, Ojt), axis)
+
+        # --- collective 3: gather the reduced system -----------------------
+        Ra = jax.lax.all_gather(Ra_loc, axis, axis=0, tiled=True)
+        ta = jax.lax.all_gather(ta_loc, axis, axis=0, tiled=True)
+        MgR = jax.lax.all_gather(M_R, axis, axis=0, tiled=True)
+        Mgt = jax.lax.all_gather(M_t, axis, axis=0, tiled=True)
+
+        # --- replicated reduced solve (zero communication) -----------------
+        n_anchors = jnp.maximum((n_active + stride - 1) // stride, 1)
+        active_a = jnp.arange(A_tot) < n_anchors
+        ci = jnp.arange(A_tot - 1, dtype=jnp.int32)
+        cj = ci + 1
+        cmask = cj < n_anchors
+        chain_info = jnp.tile(
+            jnp.asarray(
+                [[1.0 / (m.chain_rot_var * stride)] * 3
+                 + [1.0 / (m.chain_trans_var * stride)] * 3],
+                jnp.float32,
+            ),
+            (A_tot - 1, 1),
+        )
+        ai = jnp.clip(loop.i // stride, 0, n_anchors - 1).astype(jnp.int32)
+        aj = jnp.clip(loop.j // stride, 0, n_anchors - 1).astype(jnp.int32)
+        lvalid = loop.mask & (loop.i < n_active) & (loop.j < n_active)
+        lvalid = lvalid & (ai != aj)
+        MR_, Mt_ = se3.compose(OiR, Oit, loop.R, loop.t)
+        OjRi, Ojti = se3.inverse(OjR, Ojt)
+        MR_, Mt_ = se3.compose(MR_, Mt_, OjRi, Ojti)
+        red = Factors(
+            i=jnp.concatenate([ci, ai]),
+            j=jnp.concatenate([cj, aj]),
+            R=jnp.concatenate([MgR[: A_tot - 1], MR_]),
+            t=jnp.concatenate([Mgt[: A_tot - 1], Mt_]),
+            info=jnp.concatenate([chain_info, loop.info]),
+            mask=jnp.concatenate([cmask, lvalid]),
+        )
+        use_dense = reduced == "dense" or (
+            reduced == "auto" and A_tot <= 256
+        )
+
+        def leader_solve(_):
+            if use_dense:
+                return solve_dense_gn(
+                    Ra, ta, red, active_a,
+                    gn_iters=gn_iters,
+                    prior_w=prior_w,
+                    trust_rot=m.posegraph_trust_rot,
+                    trust_trans=m.posegraph_trust_trans,
+                )
+            return solve_pose_graph(
+                Ra, ta, red, active_a, cfg,
+                gn_iters=gn_iters, prior_w=prior_w,
+            )
+
+        def idle(_):
+            return jnp.zeros_like(Ra), jnp.zeros_like(ta)
+
+        # --- collective 4: leader solves the reduced system once, psum
+        # broadcasts it. (A replicated solve would be ndev x the total work;
+        # the reduced system is tiny, so solving on one device and shipping
+        # ~100 B/anchor is strictly cheaper than ndev redundant solves.)
+        Ra2, ta2 = jax.lax.cond(d == 0, leader_solve, idle, None)
+        Ra2, ta2 = jax.lax.psum((Ra2, ta2), axis)
+
+        # --- local rigid propagation (zero communication) ------------------
+        Ra2_loc = jax.lax.dynamic_slice_in_dim(Ra2, d * A_loc, A_loc, 0)
+        ta2_loc = jax.lax.dynamic_slice_in_dim(ta2, d * A_loc, A_loc, 0)
+        RaI, taI = se3.inverse(Ra_loc, ta_loc)
+        DR, Dt = se3.compose(Ra2_loc, ta2_loc, RaI, taI)
+        a_of_l = jnp.arange(P_loc) // stride
+        R_new = se3.orthonormalize(DR[a_of_l] @ R_loc)
+        t_new = jnp.einsum("nij,nj->ni", DR[a_of_l], t_loc) + Dt[a_of_l]
+        live = (base + jnp.arange(P_loc)) < n_active
+        return (
+            jnp.where(live[:, None, None], R_new, R_loc),
+            jnp.where(live[:, None], t_new, t_loc),
+        )
+
+    return jax.jit(solve)
+
+
+# ---------------------------------------------------------------------------
 # Sharded scan-to-map matching
 # ---------------------------------------------------------------------------
 

@@ -180,6 +180,175 @@ def coarse_align_2d(
     return dx, dy, yaws[iy], scores.reshape(-1)[flat_idx], n_src
 
 
+def compute_loopinfo(kf_t, kf_time, n_kf, t_query, cfg: LegoLoamConfig):
+    """Device-side loop-candidate detection over the keyframe ring store.
+
+    ≙ detectLoopClosure's kd-tree radius + age search (mapOptmization.cpp:
+    906-935) — here one O(K) masked argmin per chunk, computed INSIDE the
+    chunk program so the steady state costs zero host syncs (the host reads
+    the packed result one check later, when the producing chunk has long
+    finished). Returns a packed (4,) float32
+    [cand_slot, cand_dist, n_kf, cur_slot] (slots exact in f32 below 2^24)."""
+    K = kf_t.shape[0]
+    m = cfg.mapping
+    f32 = jnp.float32
+    active = jnp.arange(K) < n_kf
+    cur_slot = jnp.where(n_kf > 0, (n_kf - 1) % K, 0)
+    t_now = kf_time[cur_slot]
+    eligible = active & ((t_now - kf_time) > m.loop_time_gap)
+    d = jnp.linalg.norm(kf_t - t_query[None, :], axis=1)
+    d = jnp.where(eligible, d, jnp.inf)
+    cand_slot = jnp.argmin(d)
+    return jnp.stack(
+        [
+            cand_slot.astype(f32),
+            d[cand_slot],
+            n_kf.astype(f32),
+            cur_slot.astype(f32),
+        ]
+    )
+
+
+def attempt_loop_closure(
+    kf_R,  # (K, 3, 3) keyframe ring store
+    kf_t,  # (K, 3)
+    kf_corner,  # (K, Nc, 3) sensor-frame corner clouds
+    kf_corner_mask,  # (K, Nc)
+    kf_surf,  # (K, Ns, 3)
+    kf_surf_mask,  # (K, Ns)
+    cand_slot,  # () int32 candidate keyframe slot
+    cur_slot,  # () int32 current keyframe slot
+    n_kf,  # () int32 total appended at detection time
+    cfg: LegoLoamConfig,
+):
+    """One fused loop-closure attempt: coarse 2-D align -> gates -> surf ICP
+    -> gates -> relative between-factor. ≙ performLoopClosure
+    (mapOptmization.cpp:983-1094), restructured as ONE device program so the
+    pipeline can dispatch it asynchronously and read the verdict a check
+    later — no blocking device_get between the stages.
+
+    Returns (flags, R_rel, t_rel): flags is a packed (8,) float32
+    [accepted, i_abs, j_abs, fitness, coarse_score, coarse_frac, icp_iters,
+    inlier_frac]; ids are ABSOLUTE keyframe ids (survive ring motion)."""
+    m = cfg.mapping
+    K = kf_t.shape[0]
+    A_live = jnp.minimum(n_kf, K)
+    start = jnp.where(n_kf > K, n_kf % K, 0)
+    li_cand = (cand_slot - start) % K
+    li_cur = (cur_slot - start) % K
+    h = m.history_keyframe_search_num // 2
+    win = jnp.clip(
+        li_cand - h + jnp.arange(2 * h + 1), 0, jnp.maximum(A_live - 1, 0)
+    )
+    idx = (start + win) % K
+
+    c_cur = kf_t[cur_slot]
+    c_cand = kf_t[cand_slot]
+    cur_R = kf_R[cur_slot]
+    cand_R = kf_R[cand_slot]
+
+    # Stage 1: global (yaw, dx, dy) from occupancy correlation of the CORNER
+    # (structure) clouds, both centered on their keyframes.
+    tgt_c = jnp.einsum("kij,knj->kni", kf_R[idx], kf_corner[idx]) + (
+        kf_t[idx] - c_cand[None]
+    )[:, None, :]
+    src_c = jnp.einsum("ij,nj->ni", cur_R, kf_corner[cur_slot])
+    dx, dy, yaw, score, n_src = coarse_align_2d(
+        src_c,
+        kf_corner_mask[cur_slot],
+        tgt_c.reshape(-1, 3),
+        kf_corner_mask[idx].reshape(-1),
+    )
+    frac = score / jnp.maximum(n_src, 1.0)
+    pass1 = (score >= m.loop_coarse_min_score) & (
+        frac >= m.loop_coarse_min_frac
+    )
+
+    src_s = (
+        jnp.einsum("ij,nj->ni", cur_R, kf_surf[cur_slot]) + c_cur[None, :]
+    )
+    src_s_mask = kf_surf_mask[cur_slot]
+
+    def do_icp(_):
+        # Stage 2: surf ICP from the coarse init with a tight gate.
+        tgt_s = (
+            jnp.einsum("kij,knj->kni", kf_R[idx], kf_surf[idx])
+            + kf_t[idx][:, None, :]
+        )
+        tgt_s_mask = kf_surf_mask[idx]
+        # dz from the ground-dominated surf mean-z gap (yaw about z keeps z)
+        ns = jnp.maximum(jnp.sum(src_s_mask), 1)
+        nt = jnp.maximum(jnp.sum(tgt_s_mask), 1)
+        dz = (
+            jnp.sum(
+                jnp.where(
+                    tgt_s_mask.reshape(-1), tgt_s.reshape(-1, 3)[:, 2], 0.0
+                )
+            )
+            / nt
+            - jnp.sum(jnp.where(src_s_mask, src_s[:, 2], 0.0)) / ns
+        )
+        cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+        R0 = jnp.array([[cy, -sy, 0.0], [sy, cy, 0.0], [0.0, 0.0, 1.0]])
+        t0 = c_cand + jnp.stack([dx, dy, dz]) - R0 @ c_cur
+        return icp_point2point(
+            src_s,
+            src_s_mask,
+            tgt_s.reshape(-1, 3),
+            tgt_s_mask.reshape(-1),
+            cfg,
+            R0,
+            t0,
+            max_iters=m.loop_icp_max_iterations,
+            max_corr=m.loop_icp_corr_dist,
+        )
+
+    def skip(_):
+        return ICPResult(
+            R=jnp.eye(3),
+            t=jnp.zeros(3),
+            fitness=jnp.float32(jnp.inf),
+            converged=jnp.bool_(False),
+            iterations=jnp.int32(0),
+            inlier_frac=jnp.float32(0.0),
+        )
+
+    res = jax.lax.cond(pass1, do_icp, skip, None)
+
+    gate = min(
+        m.history_keyframe_fitness_score,
+        m.loop_fitness_leaf_scale * cfg.features.less_flat_leaf ** 2,
+    )
+    accepted = (
+        pass1
+        & (res.fitness <= gate)
+        & (res.inlier_frac >= m.loop_min_inlier_frac)
+    )
+
+    Rc = res.R @ cur_R
+    tc = res.R @ c_cur + res.t
+    R_rel = cand_R.T @ Rc
+    t_rel = cand_R.T @ (tc - c_cand)
+    R_rel = jnp.where(accepted, R_rel, jnp.eye(3))
+    t_rel = jnp.where(accepted, t_rel, 0.0)
+
+    base = n_kf - A_live
+    f32 = jnp.float32
+    flags = jnp.stack(
+        [
+            accepted.astype(f32),
+            (base + li_cand).astype(f32),
+            (base + li_cur).astype(f32),
+            res.fitness,
+            score,
+            frac,
+            res.iterations.astype(f32),
+            res.inlier_frac,
+        ]
+    )
+    return flags, R_rel, t_rel
+
+
 def detect_loop_candidate(
     positions, times, n_active, cur_idx, cfg: LegoLoamConfig,
     return_dist: bool = False,

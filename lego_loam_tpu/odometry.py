@@ -509,6 +509,10 @@ def _solve_stage(
 
 SURF_DOFS = (True, True, False, False, False, True)  # roll, pitch, tz
 CORNER_DOFS = (False, False, True, True, True, False)  # yaw, tx, ty
+# Full-6DoF ablation (≙ the reference's calculateTransformation,
+# featureAssociation.cpp:2145-2289, kept alongside the two-step split):
+# with cfg.odometry.full_dof_odometry both passes solve all six DOFs —
+# the masked-DOF split is exactly what the ablation toggles.
 FULL_DOFS = (True,) * 6
 
 
@@ -522,16 +526,18 @@ def two_step_odometry(
 ):
     """Full two-step solve. Returns refined (R, t) motion estimate."""
     o = cfg.odometry
+    surf_dofs = FULL_DOFS if o.full_dof_odometry else SURF_DOFS
+    corner_dofs = FULL_DOFS if o.full_dof_odometry else CORNER_DOFS
     R, t = _solve_stage(
         M_R_init, M_t_init,
         features.surf_flat, last_surf,
-        surf_search5, surf_fit5, surf_eval5, 1, SURF_DOFS, cfg,
+        surf_search5, surf_fit5, surf_eval5, 1, surf_dofs, cfg,
         sup_dims=(5, 3),
     )
     R, t = _solve_stage(
         R, t,
         features.corner_sharp, last_corner,
-        corner_search5, corner_fit5, corner_eval5, 1, CORNER_DOFS, cfg,
+        corner_search5, corner_fit5, corner_eval5, 1, corner_dofs, cfg,
         sup_dims=(5, 3),
     )
     if o.accel_cap > 0:

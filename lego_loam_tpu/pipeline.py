@@ -36,9 +36,9 @@ from .backend import BackendState, backend_step, init_backend_state
 from .config import LegoLoamConfig
 from .frontend import frontend_step, init_odometry_state
 from .fusion import fuse_pose
-from .loopclosure import detect_loop_candidate, icp_point2point
+from .loopclosure import attempt_loop_closure, compute_loopinfo
 from .math import se3
-from .posegraph import Factors, solve_pose_graph
+from .posegraph import Factors, reduced_solve
 from .types import OdometryState
 
 
@@ -83,15 +83,54 @@ class LegoLoamPipeline:
                 state, feats, oxyz, omask, R, t, tm, cfg
             )
         )
-        self._icp = jax.jit(
-            lambda src, sm, tgt, tm, R0, t0: icp_point2point(
-                src, sm, tgt, tm, cfg, R0, t0,
-                max_corr=cfg.mapping.loop_icp_corr_dist,
+        # Loop-closure device programs (all dispatched asynchronously; the
+        # host reads their outputs one check later, when they have long
+        # finished — see _try_loop_closure).
+        self._attempt = jax.jit(
+            lambda bs, cand, cur, nkf: attempt_loop_closure(
+                bs.kf_R, bs.kf_t,
+                bs.kf_corner_view(), bs.kf_corner_mask,
+                bs.kf_surf_view(), bs.kf_surf_mask,
+                cand, cur, nkf, cfg,
             )
         )
-        from .loopclosure import coarse_align_2d
+        self._loopinfo_probe = jax.jit(
+            lambda bs: compute_loopinfo(
+                bs.kf_t, bs.kf_time, bs.n_kf, bs.t_map, cfg
+            )
+        )
 
-        self._coarse = jax.jit(coarse_align_2d)
+        from functools import partial as _partial
+
+        @_partial(jax.jit, donate_argnums=(0, 1))
+        def _solve(kf_R, kf_t, rel_R, rel_t, n_kf, R_map, t_map, sc, sn, loop):
+            newR, newt, (ok, c0, c1, moved) = reduced_solve(
+                kf_R, kf_t, rel_R, rel_t, n_kf, loop, cfg
+            )
+            K = newR.shape[0]
+            newest = jnp.where(n_kf > 0, (n_kf - 1) % K, 0)
+            R_map2 = jnp.where(ok, newR[newest], R_map)
+            t_map2 = jnp.where(ok, newt[newest], t_map)
+            # corrected keyframe poses invalidate the cached submap
+            sc2 = jnp.where(ok, jnp.full((3,), 1e9, sc.dtype), sc)
+            sn2 = jnp.where(ok, jnp.int32(-1), sn)
+            diag = jnp.stack([ok.astype(jnp.float32), c0, c1, moved])
+            return newR, newt, R_map2, t_map2, sc2, sn2, diag
+
+        self._solve_reduced = _solve
+
+        @_partial(jax.jit, donate_argnums=(0,))
+        def _append(buf: Factors, k, i, j, R, t, info, valid):
+            return Factors(
+                i=buf.i.at[k].set(i),
+                j=buf.j.at[k].set(j),
+                R=buf.R.at[k].set(R),
+                t=buf.t.at[k].set(t),
+                info=buf.info.at[k].set(info),
+                mask=buf.mask.at[k].set(valid),
+            )
+
+        self._append_loop = _append
         self._mesh = None
         if len(jax.devices()) > 1 and (
             cfg.distributed.use_sharded_posegraph or cfg.distributed.shard_backend
@@ -105,9 +144,6 @@ class LegoLoamPipeline:
             self._solve_graph_sharded = sharded_pose_graph_solver(self._mesh, cfg)
         else:
             self._solve_graph_sharded = None
-        self._solve_graph = jax.jit(
-            lambda R, t, f, mask: solve_pose_graph(R, t, f, mask, cfg)
-        )
         # Chunked device-resident runner (built lazily; one cache entry per
         # chunk length). On a relay-attached TPU each per-frame dispatch
         # costs more than the device programs themselves — lax.scan over a
@@ -142,12 +178,19 @@ class LegoLoamPipeline:
 
             self.bstate = shard_backend_state(self._mesh, self.bstate)
         self.loop_factors: list[LoopFactor] = []
-        # Deferred loop-closure snapshot (see _try_loop_closure) + per-check
-        # diagnostics (nearest-candidate distance), so "0 closures" in a run
-        # artifact is explainable.
-        self._loop_pending = None
-        self._loop_snap_copy = None
-        self._graph_cost = None
+        # Device-resident loop-factor buffer (fixed max_loop_factors
+        # capacity, ABSOLUTE keyframe ids) — the reduced solver's input;
+        # self.loop_factors is the host mirror for artifacts/checkpoints.
+        self._loop_buf = self._empty_loop_buf()
+        self._loop_write = 0
+        # Asynchronous loop-closure pipeline state (see _try_loop_closure):
+        # candidate infos produced by past chunk programs, the in-flight
+        # attempt program's outputs, and the in-flight solve's diagnostic.
+        self._linfo_q: list = []
+        self._attempt_pending = None
+        self._solve_pending = None
+        # Per-check diagnostics trail (nearest-candidate distance etc.), so
+        # "0 closures" in a run artifact is explainable.
         self.loop_diag: list[dict] = []
         self._loop_cooldown_until = 0
         self.frame_idx = 0
@@ -306,6 +349,7 @@ class LegoLoamPipeline:
                 >= cfg.mapping.loop_every_n_frames
             ):
                 self._last_loop_check = self.frame_idx
+                self._linfo_q.append(self._loopinfo_probe(self.bstate))
                 self._try_loop_closure()
             self._mapped_frames += 1
             self._maybe_publish_global_map()
@@ -459,7 +503,20 @@ class LegoLoamPipeline:
             (fstate, bstate, idx, odom_prev), ys = jax.lax.scan(
                 step, (fstate, bstate, idx0, odom_prev), xs
             )
-            return fstate, bstate, idx, odom_prev, ys
+            # Loop-candidate detection rides the chunk program (≙ the
+            # reference's async detectLoopClosure thread): one O(K) masked
+            # argmin — the host reads the packed 4 floats one check later,
+            # so the steady state costs zero dispatch-queue drains.
+            if cfg.mapping.enable_loop_closure:
+                from .loopclosure import compute_loopinfo
+
+                linfo = compute_loopinfo(
+                    bstate.kf_t, bstate.kf_time, bstate.n_kf, bstate.t_map,
+                    cfg,
+                )
+            else:
+                linfo = jnp.zeros((4,), jnp.float32)
+            return fstate, bstate, idx, odom_prev, ys, linfo
 
         return run
 
@@ -610,7 +667,7 @@ class LegoLoamPipeline:
                     [per] * self._chunk_mapped_prev
                 )
         self._chunk_t_prev = now
-        self.fstate, self.bstate, self._idx_dev, _odom_prev, ys = (
+        self.fstate, self.bstate, self._idx_dev, _odom_prev, ys, linfo = (
             self._chunk_runner(
                 self.fstate, self.bstate, self._idx_dev, xs, odom_prev
             )
@@ -646,85 +703,89 @@ class LegoLoamPipeline:
             >= cfg.mapping.loop_every_n_frames
         ):
             self._last_loop_check = self.frame_idx
+            self._linfo_q.append(linfo)
             self._try_loop_closure()
         self._chunk_mapped_prev = int(np.count_nonzero(mapped))
         self._mapped_frames += self._chunk_mapped_prev
         self._maybe_publish_global_map()
 
+    def _empty_loop_buf(self) -> Factors:
+        L = self.cfg.mapping.max_loop_factors
+        import numpy as _np
+
+        return Factors(
+            i=jnp.asarray(_np.zeros((L,), _np.int32)),
+            j=jnp.asarray(_np.zeros((L,), _np.int32)),
+            R=jnp.asarray(
+                _np.tile(_np.eye(3, dtype=_np.float32), (L, 1, 1))
+            ),
+            t=jnp.asarray(_np.zeros((L, 3), _np.float32)),
+            info=jnp.asarray(_np.ones((L, 6), _np.float32)),
+            mask=jnp.asarray(_np.zeros((L,), bool)),
+        )
+
+    def _sync_loop_buf(self):
+        """Rebuild the device loop-factor buffer from the host mirror
+        (checkpoint load, manual _optimize_graph calls)."""
+        import numpy as _np
+
+        m = self.cfg.mapping
+        live = self.loop_factors[-m.max_loop_factors:]
+        buf = self._empty_loop_buf()
+        if not live:
+            self._loop_buf = buf
+            self._loop_write = 0
+            return
+        L = m.max_loop_factors
+        i = _np.zeros((L,), _np.int32)
+        j = _np.zeros((L,), _np.int32)
+        R = _np.tile(_np.eye(3, dtype=_np.float32), (L, 1, 1))
+        t = _np.zeros((L, 3), _np.float32)
+        info = _np.ones((L, 6), _np.float32)
+        mask = _np.zeros((L,), bool)
+        for k, f in enumerate(live):
+            i[k], j[k] = f.i, f.j
+            R[k], t[k] = f.R, f.t
+            info[k] = 1.0 / max(f.fitness * m.loop_noise_scale, 1e-6)
+            mask[k] = True
+        self._loop_buf = Factors(
+            i=jnp.asarray(i), j=jnp.asarray(j), R=jnp.asarray(R),
+            t=jnp.asarray(t), info=jnp.asarray(info), mask=jnp.asarray(mask),
+        )
+        self._loop_write = len(live)
+
     def warmup_loop_closure(self):
         """Compile the loop-closure machinery at production shapes.
 
-        First-touch compiles of the coarse aligner, loop ICP, pose-graph
-        solver, cost probe, and snapshot copier cost minutes on the
-        relay-attached TPU and previously landed mid-run on the first
-        candidate chunk (~274 s of the r4 campus run's 308 s total sat in
-        the 5 chunks where this machinery compiled). Call once before the
-        timed region; no-op when loop closure is disabled."""
+        First-touch compiles of the candidate probe, the fused
+        coarse+ICP attempt program, and the reduced pose-graph solve cost
+        minutes on the relay-attached TPU and must not land mid-run on the
+        first candidate chunk. Call once before the timed region; no-op when
+        loop closure is disabled."""
         cfg = self.cfg
         if not cfg.mapping.enable_loop_closure:
             return
-        from .backend import KF_CORNER_CAP, KF_SURF_CAP
-
-        h = cfg.mapping.history_keyframe_search_num // 2
-        Wn = 2 * h + 1
-        eye = jnp.eye(3)
-        zero3 = jnp.zeros(3)
-        jax.block_until_ready(self._coarse(
-            jnp.zeros((KF_CORNER_CAP, 3)), jnp.zeros((KF_CORNER_CAP,), bool),
-            jnp.zeros((Wn * KF_CORNER_CAP, 3)),
-            jnp.zeros((Wn * KF_CORNER_CAP,), bool),
-        ))
-        jax.block_until_ready(self._icp(
-            jnp.zeros((KF_SURF_CAP, 3)), jnp.zeros((KF_SURF_CAP,), bool),
-            jnp.zeros((Wn * KF_SURF_CAP, 3)),
-            jnp.zeros((Wn * KF_SURF_CAP,), bool),
-            eye, zero3,
-        ))
-        if self._loop_snap_copy is None:
-            self._loop_snap_copy = jax.jit(
-                lambda a, b, c: (a + 0.0, b + 0.0, c + 0)
-            )
-        jax.block_until_ready(self._loop_snap_copy(
-            self.bstate.kf_t, self.bstate.kf_time, self.bstate.n_kf
-        ))
-        # Pose-graph solve + cost at the fixed padded factor capacity the
-        # real _optimize_graph uses (chain K-1 + max_loop_factors).
-        K = self.bstate.capacity
-        F = K - 1 + cfg.mapping.max_loop_factors
-        if self._solve_graph_sharded is not None:
-            F += (-F) % self._mesh.devices.size
-        factors = Factors(
-            i=jnp.zeros((F,), jnp.int32),
-            j=jnp.zeros((F,), jnp.int32),
-            R=jnp.tile(eye[None], (F, 1, 1)),
-            t=jnp.zeros((F, 3)),
-            info=jnp.ones((F, 6)),
-            mask=jnp.zeros((F,), bool),
+        jax.block_until_ready(self._loopinfo_probe(self.bstate))
+        out = self._attempt(
+            self.bstate, jnp.int32(0), jnp.int32(0), jnp.int32(1)
         )
-        active = jnp.arange(K) < 1
+        jax.block_until_ready(out)
+        # Append a masked-out row (valid=False): compiles the donating
+        # append without perturbing the (empty) factor set.
+        self._loop_buf = self._append_loop(
+            self._loop_buf, jnp.int32(0), jnp.int32(0), jnp.int32(0),
+            jnp.eye(3), jnp.zeros(3), jnp.ones(6), jnp.bool_(False),
+        )
         if self._solve_graph_sharded is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            spec = NamedSharding(self._mesh, P(("graph", "map")))
-            rep = NamedSharding(self._mesh, P())
-            fsh = jax.tree.map(lambda x: jax.device_put(x, spec), factors)
-            jax.block_until_ready(self._solve_graph_sharded(
-                jax.device_put(self.bstate.kf_R, rep),
-                jax.device_put(self.bstate.kf_t, rep),
-                fsh,
-                jax.device_put(active, rep),
-            ))
+            self._optimize_graph()  # compiles the sharded path end-to-end
         else:
-            jax.block_until_ready(self._solve_graph(
-                self.bstate.kf_R, self.bstate.kf_t, factors, active
-            ))
-        if self._graph_cost is None:
-            from .posegraph import graph_cost
-
-            self._graph_cost = jax.jit(graph_cost)
-        jax.block_until_ready(self._graph_cost(
-            self.bstate.kf_R, self.bstate.kf_t, factors
-        ))
+            # The reduced solve donates kf_R/kf_t and returns equivalent
+            # buffers (empty factor set -> cost gate rejects, poses kept),
+            # so warming it is a real dispatch whose outputs replace the
+            # state.
+            self._dispatch_solve(None)
+            self._pickup_solve()
+        jax.block_until_ready(self.bstate.kf_R)
 
     def request_stop(self):
         """≙ the /initialpose callback (mapOptmization.cpp:437-456): flags the
@@ -798,6 +859,7 @@ class LegoLoamPipeline:
         """Pull all per-frame device logs to host in one bulk device_get."""
         if self._finalized:
             return
+        self._drain_loop_closure()
         log = self._dev_log
 
         def cat(entries, base_ndim, empty_shape):
@@ -876,176 +938,175 @@ class LegoLoamPipeline:
 
     # -- loop closure -------------------------------------------------------
 
-    def _try_loop_closure(self):
-        """≙ performLoopClosure (mapOptmization.cpp:983-1094) + correctPoses.
+    def _try_loop_closure(self, draining: bool = False):
+        """≙ performLoopClosure (mapOptmization.cpp:983-1094) + correctPoses,
+        restructured as a zero-sync asynchronous device pipeline (the
+        reference's loop thread is asynchronous by design,
+        mapOptmization.cpp:317-328):
 
-        Deferred detection: each check SNAPSHOTS the device keyframe arrays
-        (kf_t / kf_time / n_kf) without reading them, and evaluates the
-        snapshot taken at the PREVIOUS check — by then the producing chunk
-        has long finished, so jax.device_get returns without draining the
-        dispatch queue (the per-chunk full-pipeline sync this replaces cost
-        ~38x throughput on the campus run). One check of extra latency is
-        immaterial: the reference's loop thread is asynchronous by design
-        (mapOptmization.cpp:317-328).
+        1. Candidate detection runs INSIDE the chunk program
+           (loopclosure.compute_loopinfo) — the host holds the packed (4,)
+           result and reads it one check LATER, when the producing chunk has
+           long finished: the read never drains the dispatch queue.
+        2. A firing candidate dispatches ONE fused attempt program
+           (coarse 2-D align -> gates -> surf ICP -> gates -> factor),
+           whose outputs are likewise picked up at the NEXT check.
+        3. An accepted attempt appends the factor to the device buffer and
+           dispatches the reduced anchor-segment graph solve
+           (posegraph.reduced_solve), which applies its own cost-decrease
+           gate ON DEVICE — zero host reads on the apply path; its
+           diagnostic is picked up at a later check.
 
-        All indices below are *logical* keyframe ids (monotone append order);
-        the device ring store is addressed through slot = id % K."""
-        cfg = self.cfg
-        # COPY the snapshot arrays: the state buffers are donated into the
-        # next chunk dispatch, which would delete a bare reference before the
-        # deferred read happens.
-        if self._loop_snap_copy is None:
-            self._loop_snap_copy = jax.jit(
-                lambda a, b, c: (a + 0.0, b + 0.0, c + 0)
-            )
-        snap = self._loop_snap_copy(
-            self.bstate.kf_t, self.bstate.kf_time, self.bstate.n_kf
-        )
-        pend, self._loop_pending = self._loop_pending, snap
-        if pend is None:
+        The steady-state cost (no candidate in radius) is ONE deferred
+        4-float device_get per check. `draining` (finalize) processes
+        everything immediately instead of one-check-later."""
+        m = self.cfg.mapping
+
+        self._pickup_solve()
+        self._pickup_attempt()
+
+        min_q = 1 if draining else 2
+        if len(self._linfo_q) < min_q:
             return
-        kf_t, kf_time, n_kf = jax.device_get(pend)
+        pend = self._linfo_q.pop(0)
+        del self._linfo_q[:-1]  # never let the backlog grow past one
+        cand_slot, cand_dist, n_kf, cur_slot = [
+            float(v) for v in jax.device_get(pend)
+        ]
         n_kf = int(n_kf)
-        K = kf_t.shape[0]
-        A = min(n_kf, K)
-        if A < 3:
+        if n_kf < 3:
             return
-        start = (n_kf - A) % K if K else 0
-        slots = (start + np.arange(A)) % K  # oldest -> newest
-        positions = kf_t[slots]
-        times = kf_time[slots]
-        cur = A - 1
-        cand, cand_dist = detect_loop_candidate(
-            positions, times, A, cur, cfg, return_dist=True
-        )
+        has_cand = bool(np.isfinite(cand_dist))
         self.loop_diag.append(
-            {"n_kf": n_kf, "cand": cand, "dist": float(cand_dist)}
+            {
+                "n_kf": n_kf,
+                "cand": int(cand_slot) if has_cand else -1,
+                "dist": float(cand_dist) if has_cand else float("inf"),
+            }
         )
-        if cand < 0:
+        if not has_cand or cand_dist >= m.history_keyframe_search_radius:
             return
         if self.frame_idx < self._loop_cooldown_until:
             return
+        if self._attempt_pending is not None:
+            return
         self._loop_cooldown_until = (
-            self.frame_idx + cfg.mapping.loop_attempt_cooldown
+            self.frame_idx + m.loop_attempt_cooldown
         )
-
-        # history submap: a FIXED-width window of history_keyframe_search_num
-        # keyframes around cand (clamped into range; duplicates at the clamp
-        # are harmless) — variable-width windows recompiled the jitted ICP
-        # per candidate.
-        h = cfg.mapping.history_keyframe_search_num // 2
-        win = np.clip(cand - h + np.arange(2 * h + 1), 0, A - 1)
-        idx = jnp.asarray(slots[win])
-        cur_slot = int(slots[cur])
-        cand_slot = int(slots[cand])
-
-        # Coarse-to-fine geometric verification. ICP from identity fails
-        # once inter-lap drift exceeds the local structure scale (surf
-        # clouds are ground-dominated — laterally uninformative; corner
-        # clouds are too sparse for a multi-meter basin; measured fitness
-        # 60-500 at true 4 m-offset revisits). Stage 1: global (yaw, dx,
-        # dy) by occupancy correlation of the CORNER (structure) clouds +
-        # dz from the surf (ground-dominated) mean-z gap. Stage 2: surf
-        # ICP from that init with a tight correspondence gate.
-        # (≙ performLoopClosure's single PCL ICP, mapOptmization.cpp:
-        # 1000-1015 — which ships disabled.)
-        kf_R = self.bstate.kf_R
-        kf_t = self.bstate.kf_t
-        kf_corner = self.bstate.kf_corner_view()
-        kf_surf = self.bstate.kf_surf_view()
-        c_cur = kf_t[cur_slot]
-        c_cand = kf_t[cand_slot]
-        tgt_c = jnp.einsum(
-            "kij,knj->kni", kf_R[idx], kf_corner[idx]
-        ) + (kf_t[idx] - c_cand[None])[:, None, :]
-        tgt_c_mask = self.bstate.kf_corner_mask[idx]
-        src_c = jnp.einsum("ij,nj->ni", kf_R[cur_slot], kf_corner[cur_slot])
-        src_c_mask = self.bstate.kf_corner_mask[cur_slot]
-        dx, dy, yaw, score, n_src = self._coarse(
-            src_c, src_c_mask, tgt_c.reshape(-1, 3), tgt_c_mask.reshape(-1)
+        out = self._attempt(
+            self.bstate,
+            jnp.int32(int(cand_slot)),
+            jnp.int32(int(cur_slot)),
+            jnp.int32(n_kf),
         )
-        score = float(jax.device_get(score))
-        n_src = float(jax.device_get(n_src))
-        frac = score / max(n_src, 1.0)
-        self.loop_diag[-1]["coarse_score"] = score
-        self.loop_diag[-1]["coarse_frac"] = round(frac, 3)
-        if (
-            score < cfg.mapping.loop_coarse_min_score
-            or frac < cfg.mapping.loop_coarse_min_frac
-        ):
+        self._attempt_pending = (*out, self.loop_diag[-1])
+        if draining:
+            self._pickup_attempt()
+            self._pickup_solve()
+
+    def _pickup_attempt(self):
+        """Read a finished attempt program; on acceptance, append the factor
+        (host mirror + device buffer) and dispatch the graph solve."""
+        if self._attempt_pending is None:
             return
-
-        tgt_s = jnp.einsum(
-            "kij,knj->kni", kf_R[idx], kf_surf[idx]
-        ) + kf_t[idx][:, None, :]
-        tgt_s_mask = self.bstate.kf_surf_mask[idx]
-        src_s = (
-            jnp.einsum("ij,nj->ni", kf_R[cur_slot], kf_surf[cur_slot])
-            + c_cur[None, :]
+        flags_d, R_d, t_d, diag = self._attempt_pending
+        self._attempt_pending = None
+        flags, R_rel, t_rel = jax.device_get((flags_d, R_d, t_d))
+        m = self.cfg.mapping
+        diag.update(
+            icp_fitness=float(flags[3]),
+            coarse_score=float(flags[4]),
+            coarse_frac=round(float(flags[5]), 3),
+            icp_iters=int(flags[6]),
+            icp_inlier_frac=float(flags[7]),
         )
-        src_s_mask = self.bstate.kf_surf_mask[cur_slot]
-        # dz from the ground-dominated surf mean-z gap (yaw about z keeps z)
-        ns = jnp.maximum(jnp.sum(src_s_mask), 1)
-        nt = jnp.maximum(jnp.sum(tgt_s_mask), 1)
-        dz = (
-            jnp.sum(jnp.where(tgt_s_mask.reshape(-1), tgt_s.reshape(-1, 3)[:, 2], 0.0)) / nt
-            - jnp.sum(jnp.where(src_s_mask, src_s[:, 2], 0.0)) / ns
-        )
-        # map-frame init: p' = Rz(yaw) (p - (c_cur - c_cand shift origin))...
-        # src was correlated cur-centered against cand-centered tgt, so the
-        # full-frame transform is p' = Rz(yaw)(p - c_cur) + c_cand + (dx,dy,dz)
-        cy, sy = jnp.cos(yaw), jnp.sin(yaw)
-        R0 = jnp.array([[cy, -sy, 0.0], [sy, cy, 0.0], [0.0, 0.0, 1.0]])
-        t0 = (
-            c_cand + jnp.stack([dx, dy, dz]) - R0 @ c_cur
-        )
-        res = self._icp(
-            src_s,
-            src_s_mask,
-            tgt_s.reshape(-1, 3),
-            tgt_s_mask.reshape(-1),
-            R0,
-            t0,
-        )
-        res = jax.device_get(res)
-        self.loop_diag[-1]["icp_fitness"] = float(res.fitness)
-        self.loop_diag[-1]["icp_iters"] = int(res.iterations)
-        self.loop_diag[-1]["icp_inlier_frac"] = float(res.inlier_frac)
-        # Leaf-scaled fitness gate + coverage gate (see MappingConfig.
-        # loop_fitness_leaf_scale / loop_min_inlier_frac).
-        gate = min(
-            cfg.mapping.history_keyframe_fitness_score,
-            cfg.mapping.loop_fitness_leaf_scale
-            * cfg.features.less_flat_leaf ** 2,
-        )
-        if float(res.fitness) > gate:
+        if flags[0] < 0.5:
             return
-        if float(res.inlier_frac) < cfg.mapping.loop_min_inlier_frac:
-            return
-        self.loop_diag[-1]["accepted"] = True
-
-        cur_R, cur_t = jax.device_get((kf_R[cur_slot], kf_t[cur_slot]))
-        cand_R, cand_t = jax.device_get((kf_R[cand_slot], kf_t[cand_slot]))
-        Rc = np.asarray(res.R) @ cur_R
-        tc = np.asarray(res.R) @ cur_t + np.asarray(res.t)
-        R_rel = cand_R.T @ Rc
-        t_rel = cand_R.T @ (tc - cand_t)
-        # store ABSOLUTE keyframe ids so the factor survives ring motion
-        base = n_kf - A
+        diag["accepted"] = True
+        fitness = float(flags[3])
         self.loop_factors.append(
             LoopFactor(
-                i=base + cand, j=base + cur, R=R_rel, t=t_rel,
-                fitness=float(res.fitness),
+                i=int(flags[1]), j=int(flags[2]),
+                R=np.asarray(R_rel), t=np.asarray(t_rel), fitness=fitness,
             )
         )
-        self._loop_cooldown_until = (
-            self.frame_idx + cfg.mapping.loop_accept_cooldown
+        info = np.full(
+            (6,), 1.0 / max(fitness * m.loop_noise_scale, 1e-6), np.float32
         )
-        self._optimize_graph()
+        k = self._loop_write % m.max_loop_factors
+        self._loop_write += 1
+        self._loop_buf = self._append_loop(
+            self._loop_buf, jnp.int32(k),
+            jnp.int32(int(flags[1])), jnp.int32(int(flags[2])),
+            jnp.asarray(R_rel), jnp.asarray(t_rel), jnp.asarray(info),
+            jnp.bool_(True),
+        )
+        self._loop_cooldown_until = (
+            self.frame_idx + m.loop_accept_cooldown
+        )
+        if self._solve_graph_sharded is not None:
+            self._optimize_graph()
+        else:
+            self._dispatch_solve(diag)
+
+    def _dispatch_solve(self, diag_ref):
+        """Dispatch the reduced anchor-segment solve (device-side apply
+        gate); the diagnostic is read at a later check."""
+        bs = self.bstate
+        newR, newt, R_map, t_map, sc, sn, diag = self._solve_reduced(
+            bs.kf_R, bs.kf_t, bs.kf_rel_R, bs.kf_rel_t, bs.n_kf,
+            bs.R_map, bs.t_map, bs.submap_center, bs.submap_n_kf,
+            self._loop_buf,
+        )
+        self.bstate = bs.replace(
+            kf_R=newR, kf_t=newt, R_map=R_map, t_map=t_map,
+            submap_center=sc, submap_n_kf=sn,
+        )
+        self._solve_pending = (diag, diag_ref)
+
+    def _pickup_solve(self):
+        if self._solve_pending is None:
+            return
+        diag_d, diag_ref = self._solve_pending
+        self._solve_pending = None
+        ok, c0, c1, moved = [float(v) for v in jax.device_get(diag_d)]
+        if diag_ref is not None:
+            diag_ref["graph_cost"] = [c0, c1]
+            diag_ref["graph_max_move"] = moved
+            diag_ref["graph_accepted"] = bool(ok > 0.5)
+
+    def _drain_loop_closure(self):
+        """End-of-stream flush (finalize/run_chunked): complete any in-flight
+        attempt/solve and run one final synchronous candidate check at the
+        last pose — a stream that ends right as it re-enters a known place
+        must still close the loop."""
+        if not self.cfg.mapping.enable_loop_closure:
+            return
+        if self.frame_idx == 0:
+            return
+        self._linfo_q.append(self._loopinfo_probe(self.bstate))
+        self._try_loop_closure(draining=True)
+        self._pickup_solve()
 
     def _optimize_graph(self):
-        """Relinearized whole-graph GN (≙ ISAM2 update + correctPoses).
+        """Whole-graph correction on demand (manual API / sharded path).
 
+        The production path is _dispatch_solve (reduced anchor-segment
+        solve, device-side gate); this method exists for direct callers
+        (tests, checkpoint load) and for the mesh-sharded solver, and
+        blocks until the diagnostic is available."""
+        if self._solve_graph_sharded is None:
+            self._sync_loop_buf()
+            self._dispatch_solve(
+                self.loop_diag[-1] if self.loop_diag else None
+            )
+            self._pickup_solve()
+            return
+        self._optimize_graph_sharded()
+
+    def _optimize_graph_sharded(self):
+        """Relinearized whole-graph GN through the mesh-sharded PCG solver
+        (distributed.sharded_pose_graph_solver); host-assembled factors.
         Factor indices address ring SLOTS; the odometry chain is built in
         logical (append) order via ordered_slots(), and loop factors whose
         keyframes have been retired from the ring are dropped."""
@@ -1068,9 +1129,6 @@ class LegoLoamPipeline:
         rel_t = self.bstate.kf_rel_t[jnp.asarray(cj)]
 
         m = self.cfg.mapping
-        # Loop factors live in a FIXED-capacity padded block (chain K-1 +
-        # max_loop_factors): accepting a closure never changes the jitted
-        # solver's shapes. Oldest factors beyond the cap are dropped.
         cap = m.max_loop_factors
         live = [f for f in self.loop_factors if f.i >= base and f.j >= base]
         live = live[-cap:]
@@ -1107,47 +1165,42 @@ class LegoLoamPipeline:
             ),
         )
         active = jnp.arange(K) < n_kf
-        if self._solve_graph_sharded is not None:
-            # shard factors over the mesh (pad count to the device multiple)
-            from jax.sharding import NamedSharding, PartitionSpec as P
+        # shard factors over the mesh (pad count to the device multiple)
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-            ndev = self._mesh.devices.size
-            F = factors.i.shape[0]
-            pad = (-F) % ndev
-            if pad:
-                factors = Factors(
-                    i=jnp.pad(factors.i, (0, pad)),
-                    j=jnp.pad(factors.j, (0, pad)),
-                    R=jnp.pad(factors.R, ((0, pad), (0, 0), (0, 0))),
-                    t=jnp.pad(factors.t, ((0, pad), (0, 0))),
-                    info=jnp.pad(factors.info, ((0, pad), (0, 0))),
-                    mask=jnp.pad(factors.mask, (0, pad)),
-                )
-            spec = NamedSharding(self._mesh, P(("graph", "map")))
-            rep = NamedSharding(self._mesh, P())
-            factors = jax.tree.map(lambda x: jax.device_put(x, spec), factors)
-            newR, newt = self._solve_graph_sharded(
-                jax.device_put(self.bstate.kf_R, rep),
-                jax.device_put(self.bstate.kf_t, rep),
-                factors,
-                jax.device_put(active, rep),
+        ndev = self._mesh.devices.size
+        F = factors.i.shape[0]
+        pad = (-F) % ndev
+        if pad:
+            factors = Factors(
+                i=jnp.pad(factors.i, (0, pad)),
+                j=jnp.pad(factors.j, (0, pad)),
+                R=jnp.pad(factors.R, ((0, pad), (0, 0), (0, 0))),
+                t=jnp.pad(factors.t, ((0, pad), (0, 0))),
+                info=jnp.pad(factors.info, ((0, pad), (0, 0))),
+                mask=jnp.pad(factors.mask, (0, pad)),
             )
-            # restore the store's own sharding so the chunk runner's input
-            # shardings (and its donation) stay stable across loop closures
-            newR = jax.device_put(newR, self.bstate.kf_R.sharding)
-            newt = jax.device_put(newt, self.bstate.kf_t.sharding)
-        else:
-            newR, newt = self._solve_graph(
-                self.bstate.kf_R, self.bstate.kf_t, factors, active
-            )
+        spec = NamedSharding(self._mesh, P(("graph", "map")))
+        rep = NamedSharding(self._mesh, P())
+        factors = jax.tree.map(lambda x: jax.device_put(x, spec), factors)
+        newR, newt = self._solve_graph_sharded(
+            jax.device_put(self.bstate.kf_R, rep),
+            jax.device_put(self.bstate.kf_t, rep),
+            factors,
+            jax.device_put(active, rep),
+        )
+        # restore the store's own sharding so the chunk runner's input
+        # shardings (and its donation) stay stable across loop closures
+        newR = jax.device_put(newR, self.bstate.kf_R.sharding)
+        newt = jax.device_put(newt, self.bstate.kf_t.sharding)
 
         # Solver-health gate (same philosophy as the mapping armor): a
         # correction must REDUCE the graph's weighted residual and stay
         # finite, else keep the old poses (the factor — and its diagnostic —
         # is retained for the next, better-conditioned solve).
-        if self._graph_cost is None:
-            from .posegraph import graph_cost
+        from .posegraph import graph_cost
 
+        if getattr(self, "_graph_cost", None) is None:
             self._graph_cost = jax.jit(graph_cost)
         c0, c1, moved = jax.device_get((
             self._graph_cost(self.bstate.kf_R, self.bstate.kf_t, factors),

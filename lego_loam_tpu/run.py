@@ -50,7 +50,18 @@ def main(argv=None):
     p.add_argument("--coordinator", help="multi-host coordinator addr:port")
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force a JAX platform (the env's sitecustomize "
+                        "overrides JAX_PLATFORMS, so use this flag)")
     args = p.parse_args(argv)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     if args.coordinator or args.num_processes:
         from .launch import init_from_args

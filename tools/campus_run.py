@@ -3,13 +3,20 @@ closure enabled (≙ BASELINE.json config 4 / the Stevens 20K-scan workload,
 /root/reference/README.md:108-111), sized for the single attached chip.
 
 Runs the full flagship path (chunked device-resident runner, loop closure
-on) over a building-dominated campus world, then writes the reference
-artifact set plus CAMPUS_RUN.json with: completion, frame count, keyframes,
-loop-closure count, steady-state scans/s (first chunk's compile excluded),
-odometry-only drift vs map ATE vs post-closure keyframe ATE, and an explicit
-`failed` divergence flag (ate_map must beat ate_odom and stay finite).
+on, optional IMU undistortion + wheel-odometry prior) over a
+building-dominated campus world, then writes the reference artifact set plus
+CAMPUS_RUN.json with: completion, frame count, keyframes, loop-closure
+count, steady-state scans/s (first chunk's compile excluded), odometry-only
+drift vs map ATE vs post-closure keyframe ATE, RPE per ~100 m, measured
+closure-attempt and graph-solve latencies, and an explicit `failed`
+divergence flag (ate_map must beat ate_odom and stay finite).
 
-    python tools/campus_run.py [--laps 3] [--out out_campus]
+Stevens-scale runs (--laps 10 => >20K frames at max_keyframes 20480) reuse
+the per-lap render: the rectangular course revisits identical poses each
+lap, so `--render-variants` noise instances of one lap are rendered (cached)
+and tiled — rendering stays minutes, not hours.
+
+    python tools/campus_run.py [--laps 3] [--out out_campus] [--imu] [--odom]
 """
 
 import argparse
@@ -25,15 +32,79 @@ sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
 import numpy as np
 
 
+def synth_imu_windows(poses, cfg, rate=200.0, noise=0.002, seed=0):
+    """Per-frame IMU sample windows from ground-truth poses: yaw ramps from
+    pose[i-1] to pose[i] over the scan period (the campus course is planar,
+    so roll/pitch stay 0), accelerometer reads gravity in the body frame.
+    Returns dict of (T, S, ...) arrays for stage_chunk."""
+    from lego_loam_tpu.math import se3 as _se3
+
+    T = len(poses)
+    S = cfg.pipeline.imu_window
+    sp = cfg.laser.scan_period
+    n = min(S, max(int(rate * sp) + 1, 2))
+    rs = np.random.RandomState(seed)
+    t = np.zeros((T, S), np.float32)
+    rpy = np.zeros((T, S, 3), np.float32)
+    acc = np.zeros((T, S, 3), np.float32)
+    mask = np.zeros((T, S), bool)
+    yaws = np.unwrap([np.arctan2(R[1, 0], R[0, 0]) for R, _ in poses])
+    for i in range(T):
+        y0 = yaws[i - 1] if i > 0 else yaws[i]
+        y1 = yaws[i]
+        s = np.linspace(0.0, 1.0, n)
+        t[i, :n] = s * sp
+        yaw_s = y0 * (1 - s) + y1 * s + rs.randn(n) * noise
+        rpy[i, :n, 2] = yaw_s
+        # body-frame accelerometer: R^T (a_world - g); a_world ~ 0 on the
+        # constant-speed course, g = (0,0,-9.81) => acc = +9.81 on body z
+        acc[i, :n, 2] = 9.81 + rs.randn(n) * 0.05
+        mask[i, :n] = True
+    return {"t": t, "rpy": rpy, "acc": acc, "mask": mask}
+
+
+def synth_wheel_odom(poses, cfg, seed=0, scale_err=1.005, yaw_noise=5e-4):
+    """Wheel-odometry pose stream: ground truth integrated with a wheel
+    scale error and yaw noise (so the prior is realistic, not oracle), in
+    the odom frame offset by the configured lever arm."""
+    rs = np.random.RandomState(seed)
+    T = len(poses)
+    R_out = np.zeros((T, 3, 3), np.float32)
+    t_out = np.zeros((T, 3), np.float32)
+    R_acc = np.eye(3)
+    t_acc = np.zeros(3)
+    R_out[0], t_out[0] = R_acc, t_acc
+    for i in range(1, T):
+        Rp, tp = poses[i - 1]
+        Rc, tc = poses[i]
+        dR = Rp.T @ Rc
+        dt = Rp.T @ (tc - tp) * scale_err
+        dyaw = rs.randn() * yaw_noise
+        c, s = np.cos(dyaw), np.sin(dyaw)
+        dR = dR @ np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        t_acc = R_acc @ dt + t_acc
+        R_acc = R_acc @ dR
+        R_out[i], t_out[i] = R_acc, t_acc
+    return R_out, t_out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--laps", type=int, default=3)
     ap.add_argument("--straight", type=int, default=150)
     ap.add_argument("--turn", type=int, default=25)
-    ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--chunk", type=int, default=32)
     ap.add_argument("--out", default="out_campus")
-    ap.add_argument("--max-keyframes", type=int, default=4096)
+    ap.add_argument("--max-keyframes", type=int, default=20480)
     ap.add_argument("--no-loop", action="store_true")
+    ap.add_argument("--imu", action="store_true",
+                    help="enable IMU undistortion with a synthetic stream")
+    ap.add_argument("--odom", action="store_true",
+                    help="enable the wheel-odometry prior (odom_prior_mode="
+                         "'init') with a synthetic stream")
+    ap.add_argument("--render-variants", type=int, default=3,
+                    help="noise instances of the per-lap render to tile")
+    ap.add_argument("--json-out", default="CAMPUS_RUN.json")
     args = ap.parse_args()
 
     import jax
@@ -47,7 +118,7 @@ def main():
         campus_world, lap_trajectory, render_scan_swept,
     )
     from lego_loam_tpu.pipeline import LegoLoamPipeline
-    from lego_loam_tpu.utils.metrics import ate_rmse
+    from lego_loam_tpu.utils.metrics import ate_rmse, rpe_rmse
 
     cfg = vlp16()
     cfg = dataclasses.replace(
@@ -58,86 +129,150 @@ def main():
             max_keyframes=args.max_keyframes,
         ),
     )
+    if args.imu:
+        cfg = dataclasses.replace(
+            cfg,
+            pipeline=dataclasses.replace(
+                cfg.pipeline, use_imu_undistortion=True
+            ),
+        )
+    if args.odom:
+        cfg = dataclasses.replace(
+            cfg,
+            odometry=dataclasses.replace(
+                cfg.odometry, odom_prior_mode="init"
+            ),
+        )
 
     poses = lap_trajectory(args.laps, args.straight, args.turn)
-    world = campus_world(poses)
     n = len(poses)
-    print(f"rendering {n} swept scans ...", flush=True)
-    t0 = time.perf_counter()
+    lap_len = n // args.laps
+    world = campus_world(lap_trajectory(1, args.straight, args.turn))
+    print(f"course: {n} frames, {args.laps} laps of {lap_len}", flush=True)
 
-    def render():
-        out = []
-        for i in range(n):
-            p0 = poses[i - 1] if i > 0 else poses[i]
-            out.append(
-                render_scan_swept(
-                    p0, poses[i], cfg, world, noise=0.01, seed=100 + i
-                )
-            )
-        return out
-
+    # Per-lap render with noise variants, tiled across laps (identical
+    # poses each lap). Variant lap v renders frames 0..lap_len of lap 1
+    # (frame lap_len is the wrap sweep p[lap-1] -> p[0], reused as frame 0
+    # of laps > 1).
     from scan_cache import get_or_render
 
-    scans = get_or_render(
-        "campus",
-        {"n": n, "straight": args.straight, "turn": args.turn,
-         "laps": args.laps},
-        render,
-    )
+    t0 = time.perf_counter()
+    variants = []
+    n_var = max(1, args.render_variants)
+    for v in range(n_var):
+        def render(v=v):
+            out = []
+            for i in range(lap_len + 1):
+                p0 = poses[i - 1] if i > 0 else poses[i]
+                p1 = poses[i % n]
+                out.append(
+                    render_scan_swept(
+                        p0, p1, cfg, world, noise=0.01,
+                        seed=9000 * v + 100 + i,
+                    )
+                )
+            return out
+
+        variants.append(
+            get_or_render(
+                "campus_lap",
+                {"lap_len": lap_len, "straight": args.straight,
+                 "turn": args.turn, "variant": v, "v": 2},
+                render,
+            )
+        )
     print(f"rendered in {time.perf_counter() - t0:.1f}s", flush=True)
 
+    def scan_at(i):
+        lap, k = divmod(i, lap_len)
+        var = variants[lap % n_var]
+        if lap > 0 and k == 0:
+            return var[lap_len]  # wrap sweep
+        return var[k]
+
+    imu = synth_imu_windows(poses, cfg) if args.imu else None
+    odom = synth_wheel_odom(poses, cfg) if args.odom else None
+
     pipe = LegoLoamPipeline(cfg)
-    # pre-pack chunks (host-side packing excluded from throughput, as in
-    # bench.py — the reference's DDS deserialize is outside its timing too)
     C = args.chunk
-    prepped = [
-        pipe._prep_many(scans[s:s + C]) for s in range(0, n - n % C, C)
-    ]
+    n_run = n - n % C
+
+    def prep_chunk(s0):
+        prep = pipe._prep_many([scan_at(i) for i in range(s0, s0 + C)])
+        kw = {}
+        if imu is not None:
+            kw["imu"] = {k: v[s0:s0 + C] for k, v in imu.items()}
+        if odom is not None:
+            kw["odom"] = (odom[0][s0:s0 + C], odom[1][s0:s0 + C])
+        return pipe.stage_chunk(prep, **kw)
 
     print("warming loop-closure machinery ...", flush=True)
     t0 = time.perf_counter()
     pipe.warmup_loop_closure()
     print(f"warmed in {time.perf_counter() - t0:.1f}s", flush=True)
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    stager = ThreadPoolExecutor(max_workers=1)
     t_start = time.perf_counter()
-    t_warm = None  # set after the first chunk completes (compile excluded)
-    nxt = pipe.stage_chunk_async(prepped[0])
-    for c in range(len(prepped)):
+    t_warm = None
+    nxt = stager.submit(prep_chunk, 0)
+    n_chunks = n_run // C
+    for c in range(n_chunks):
         cur = nxt.result()
-        if c + 1 < len(prepped):
-            nxt = pipe.stage_chunk_async(prepped[c + 1])
+        if c + 1 < n_chunks:
+            nxt = stager.submit(prep_chunk, (c + 1) * C)
         pipe.process_chunk(cur)
         if c == 0:
             jax.device_get(pipe.bstate.t_map)
             t_warm = time.perf_counter()
-        if (c + 1) % 10 == 0:
+        if (c + 1) % 20 == 0:
             done = (c + 1) * C
             print(
-                f"frame {done}/{n} kf={int(pipe.bstate.n_kf)} "
+                f"frame {done}/{n_run} kf={int(pipe.bstate.n_kf)} "
                 f"loops={len(pipe.loop_factors)} "
                 f"({(done - C) / (time.perf_counter() - t_warm):.1f} scans/s)",
                 flush=True,
             )
     jax.device_get(pipe.bstate.t_map)  # true sync (block_until_ready lies
     t_end = time.perf_counter()        # on the relay transport)
-    n_run = len(prepped) * C
     steady = (n_run - C) / (t_end - t_warm)
     total = n_run / (t_end - t_start)
     pipe.finalize()
 
+    # Closure-machinery latency probe at the FINAL graph size (VERDICT r4
+    # #3: per-accept solve cost must stay bounded at 20K keyframes).
+    t0 = time.perf_counter()
+    pipe._dispatch_solve(None)
+    jax.block_until_ready(pipe.bstate.kf_R)
+    solve_ms = (time.perf_counter() - t0) * 1e3
+    t0 = time.perf_counter()
+    jax.block_until_ready(
+        pipe._attempt(
+            pipe.bstate, jax.numpy.int32(0), jax.numpy.int32(0),
+            jax.numpy.int32(int(pipe.bstate.n_kf)),
+        )
+    )
+    attempt_ms = (time.perf_counter() - t0) * 1e3
+
     gt = np.stack([t for _, t in poses])[:n_run]
     est = np.asarray(pipe.trajectory["positions"])
-    odom = np.asarray(pipe.odom_positions)
+    odom_est = np.asarray(pipe.odom_positions)
     # Pre-closure ATE: the per-frame log keeps each pose as processed
     # (before loop factors rewrote history). Post-closure: the corrected
     # keyframe store (what the reference's pose.txt records).
     ate_map = ate_rmse(est, gt, align=False)
-    ate_odom = ate_rmse(odom, gt, align=False)
+    ate_odom = ate_rmse(odom_est, gt, align=False)
     _kR, kt, ktimes = pipe.keyframe_trajectory()
     kf_frames = np.clip(
         np.rint(ktimes / cfg.laser.scan_period).astype(int), 0, n_run - 1
     )
     ate_corrected = ate_rmse(kt, gt[kf_frames], align=False)
+    # RPE over ~100 m (speed 0.12 m/frame): drift rate independent of loop
+    # corrections (VERDICT r4 weak #6 asks this be tracked).
+    d100 = max(1, int(100.0 / 0.12))
+    rpe_map = rpe_rmse(est, gt, delta=min(d100, len(est) - 1))
+    rpe_odom = rpe_rmse(odom_est, gt, delta=min(d100, len(odom_est) - 1))
     finite = bool(np.isfinite(est).all()) and bool(np.isfinite(kt).all())
     # Explicit divergence detection: a working mapping back-end must beat
     # raw odometry; anything else is a loud failure, not a normal artifact.
@@ -153,22 +288,30 @@ def main():
         "scans_per_sec": round(steady, 2),
         "scans_per_sec_incl_compile": round(total, 2),
         "keyframes_total": int(pipe.bstate.n_kf),
+        "max_keyframes": args.max_keyframes,
         "loop_closures": len(pipe.loop_factors),
         "rejected_frames": pipe.diagnostics.get("rejected_frames", 0),
         "ate_map_m": round(float(ate_map), 4),
         "ate_odom_only_m": round(float(ate_odom), 4),
         "ate_corrected_kf_m": round(float(ate_corrected), 4),
+        "rpe_100m_map": round(float(rpe_map), 4),
+        "rpe_100m_odom": round(float(rpe_odom), 4),
+        "loop_solve_ms": round(solve_ms, 1),
+        "loop_attempt_ms": round(attempt_ms, 1),
+        "imu": bool(args.imu),
+        "odom_prior": bool(args.odom),
         "finite": finite,
         "failed": failed,
         "laps": args.laps,
     }
     print(json.dumps(result))
-    with open("CAMPUS_RUN.json", "w") as f:
+    with open(args.json_out, "w") as f:
         json.dump(result, f, indent=1)
     # Per-check loop-closure diagnostic trail: makes "0 closures" explainable
     # (nearest candidate distance / ICP fitness per check).
     import os
 
+    os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "loop_diag.json"), "w") as f:
         json.dump(pipe.loop_diag, f, indent=0)
     checks = [d for d in pipe.loop_diag if d["cand"] >= 0]

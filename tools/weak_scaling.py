@@ -2,10 +2,19 @@
 CPU mesh (the 2-host ICI measurement is hardware-blocked; VERDICT round-1
 §Next-round #5 asks for this stand-in).
 
-For device counts 1/2/4/8 (factors scaled proportionally — weak scaling),
-reports per-solve step time and the collective traffic of one solve,
-extracted from the compiled HLO (all-reduce/all-gather operand bytes).
-Writes WEAK_SCALING.json.
+Measures the Schur-reduction solver (`distributed.schur_pose_graph_solver`):
+poses/chain factors are sharded contiguously over the mesh and SCALE WITH
+the device count (true weak scaling of the north star's "keyframes sharded
+across hosts"), loop factors are replicated, and one solve costs exactly
+three collectives — all outside the GN loop (ppermute + psum + all_gather).
+The round-4 factor-parallel PCG design paid one psum per CG iteration
+(1024 collectives/solve) and weak-scaled at 47% @2 dev / 9% @8 dev; this
+design's collective count is independent of both graph size and iteration
+count.
+
+For device counts 1/2/4/8 (poses + factors scaled proportionally), reports
+per-solve time, factors/ms, and the collective traffic of one solve
+extracted from the compiled HLO. Writes WEAK_SCALING.json.
 
 Run:  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
       python tools/weak_scaling.py
@@ -33,10 +42,10 @@ import jax
 # var alone is ignored — switch through jax.config.
 jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lego_loam_tpu.config import vlp16
-from lego_loam_tpu.distributed import make_mesh, sharded_pose_graph_solver
+from lego_loam_tpu.distributed import schur_pose_graph_solver
 from lego_loam_tpu.posegraph import Factors
 
 _DTYPE_BYTES = {"f32": 4, "s32": 4, "u32": 4, "pred": 1, "f16": 2, "bf16": 2,
@@ -60,53 +69,76 @@ def collective_bytes(compiled_text: str) -> dict:
     return out
 
 
-def graph_problem(N, F, seed=0):
+def chain_problem(N, n_loops, seed=0):
+    """Noisy lap trajectory: true rels + drifted estimates + true loops."""
     rs = np.random.RandomState(seed)
-    yaw = np.linspace(0, 2 * np.pi, N).astype(np.float32)
-    c, s = np.cos(yaw), np.sin(yaw)
-    R = np.zeros((N, 3, 3), np.float32)
-    R[:, 0, 0] = c
-    R[:, 0, 1] = -s
-    R[:, 1, 0] = s
-    R[:, 1, 1] = c
-    R[:, 2, 2] = 1.0
-    t = np.stack([np.sin(yaw) * 3, 1 - np.cos(yaw) * 3, 0 * yaw], axis=1)
-    t_noisy = (t + rs.randn(N, 3) * 0.05).astype(np.float32)
-    fi = (np.arange(F, dtype=np.int32) % (N - 1))
-    fj = fi + 1
-    Rm = np.einsum("fab,fbc->fac", R[fi].transpose(0, 2, 1), R[fj])
-    tm = np.einsum("fab,fb->fa", R[fi].transpose(0, 2, 1), t[fj] - t[fi])
-    return R, t_noisy, dict(
-        i=fi, j=fj, R=Rm.astype(np.float32), t=tm.astype(np.float32),
-        info=np.full((F, 6), 1e4, np.float32), mask=np.ones((F,), bool),
+    yaw = np.linspace(0, 6 * np.pi, N).astype(np.float32)
+
+    def rz(a):
+        c, s = np.cos(a), np.sin(a)
+        out = np.zeros(a.shape + (3, 3), np.float32)
+        out[..., 0, 0] = c
+        out[..., 0, 1] = -s
+        out[..., 1, 0] = s
+        out[..., 1, 1] = c
+        out[..., 2, 2] = 1.0
+        return out
+
+    R = rz(yaw)
+    t = np.stack(
+        [np.sin(yaw) * 20, (1 - np.cos(yaw)) * 20, 0 * yaw], axis=1
+    ).astype(np.float32)
+    relR = np.tile(np.eye(3, dtype=np.float32), (N, 1, 1))
+    relt = np.zeros((N, 3), np.float32)
+    relR[1:] = np.einsum("nab,nac->nbc", R[:-1], R[1:])
+    relt[1:] = np.einsum("nab,na->nb", R[:-1], t[1:] - t[:-1])
+    # drifted estimate: integrate rels with a yaw bias
+    bias = rz(np.full((), np.deg2rad(0.02), np.float32))
+    Re = np.zeros_like(R)
+    te = np.zeros_like(t)
+    Re[0], te[0] = R[0], t[0]
+    for i in range(1, N):
+        Re[i] = Re[i - 1] @ relR[i] @ bias
+        te[i] = Re[i - 1] @ relt[i] + te[i - 1]
+    # loop factors between same-phase revisits (true measurements)
+    L = max(n_loops, 1)
+    li = rs.randint(0, N // 3, size=L).astype(np.int32)
+    lj = (li + (N * 2) // 3).astype(np.int32) % N
+    lR = np.einsum("nab,nac->nbc", R[li], R[lj])
+    lt = np.einsum("nab,na->nb", R[li], t[lj] - t[li])
+    loops = Factors(
+        i=jnp.asarray(li), j=jnp.asarray(lj),
+        R=jnp.asarray(lR), t=jnp.asarray(lt),
+        info=jnp.asarray(np.full((L, 6), 1e4, np.float32)),
+        mask=jnp.asarray(np.ones((L,), bool)),
     )
+    return Re, te, relR, relt, loops
 
 
 def main():
     cfg = vlp16()
+    poses_per_dev = 2048  # weak scaling: keyframes sharded over devices
+    # FIXED anchor budget: the reduced system stays 128 anchors no matter
+    # how many devices/keyframes — segments grow instead. This is what keeps
+    # per-solve cost flat under weak scaling (a growing reduced system would
+    # re-introduce a serial bottleneck).
+    anchor_budget = 128
     results = []
-    base_F = 512  # factors per device (weak scaling)
-    N = 256  # poses (replicated)
     for ndev in (1, 2, 4, 8):
         if ndev > len(jax.devices()):
             break
-        mesh = make_mesh(ndev)
-        solver = sharded_pose_graph_solver(mesh, cfg)
-        F = base_F * ndev
-        R, t_noisy, f_np = graph_problem(N, F)
-        shard = NamedSharding(mesh, P(("graph", "map")))
-        rep = NamedSharding(mesh, P())
-        factors = Factors(
-            i=jax.device_put(f_np["i"], shard),
-            j=jax.device_put(f_np["j"], shard),
-            R=jax.device_put(f_np["R"], shard),
-            t=jax.device_put(f_np["t"], shard),
-            info=jax.device_put(f_np["info"], shard),
-            mask=jax.device_put(f_np["mask"], shard),
+        mesh = Mesh(np.array(jax.devices()[:ndev]), ("seg",))
+        N = poses_per_dev * ndev
+        stride = N // anchor_budget
+        solver = schur_pose_graph_solver(
+            mesh, cfg, N, stride=stride, reduced="pcg"
         )
+        Re, te, relR, relt, loops = chain_problem(N, n_loops=16)
+        shard = NamedSharding(mesh, P("seg"))
         args = (
-            jax.device_put(R, rep), jax.device_put(t_noisy, rep),
-            factors, jax.device_put(np.ones((N,), bool), rep),
+            jax.device_put(Re, shard), jax.device_put(te, shard),
+            jax.device_put(relR, shard), jax.device_put(relt, shard),
+            jnp.int32(N), loops,
         )
         lowered = solver.lower(*args)
         comp = lowered.compile()
@@ -120,6 +152,7 @@ def main():
             out = solver(*args)
             jax.block_until_ready(out)
         ms = (time.perf_counter() - t0) / reps * 1e3
+        F = N - 1 + 16
         rec = {
             "devices": ndev,
             "factors": F,
@@ -131,12 +164,19 @@ def main():
         results.append(rec)
         print(json.dumps(rec), flush=True)
 
+    eff2 = eff8 = None
     if len(results) > 1:
-        eff = (
-            results[-1]["factors_per_ms"] / results[0]["factors_per_ms"]
+        eff2 = results[1]["factors_per_ms"] / (
+            2 * results[0]["factors_per_ms"]
+        ) * 2
+        print(
+            f"weak-scaling throughput ratio 2dev/1dev = "
+            f"{results[1]['factors_per_ms'] / results[0]['factors_per_ms']:.2f}"
+            f" (target >= 1.6)"
         )
-        print(f"weak-scaling throughput ratio {results[-1]['devices']}dev / "
-              f"1dev = {eff:.2f}")
+    if len(results) > 3:
+        eff8 = results[3]["factors_per_ms"] / results[0]["factors_per_ms"]
+        print(f"weak-scaling throughput ratio 8dev/1dev = {eff8:.2f}")
     with open("WEAK_SCALING.json", "w") as f:
         json.dump({"results": results}, f, indent=1)
 

@@ -383,9 +383,12 @@ class MappingConfig:
     # mapOptmization.cpp:63-66): segments of `stride` keyframes are composed
     # into single between-factors and the reduced graph (K/stride anchors)
     # is solved EXACTLY with dense GN — per-accept cost is O(1) in graph
-    # diameter, unlike the PCG whole-graph path. Stride 16 ≈ 5 m segments;
-    # falls back to 1 (no reduction) when max_keyframes % stride != 0.
-    posegraph_anchor_stride: int = 16
+    # diameter, unlike the PCG whole-graph path. Stride 32 ≈ 10 m segments
+    # (intra-segment odometry error is cm-scale against multi-meter loop
+    # corrections); the LU cost scales as (K/stride)^3 — measured 396 ms at
+    # stride 16 / K=20480 on the v5e, ~8x cheaper at 32. Falls back to the
+    # largest power-of-2 divisor when max_keyframes % stride != 0.
+    posegraph_anchor_stride: int = 32
     posegraph_gn_iters: int = 3
     posegraph_trust_rot: float = 0.3
     posegraph_trust_trans: float = 5.0

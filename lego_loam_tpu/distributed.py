@@ -388,14 +388,26 @@ def schur_pose_graph_solver(
         Ra2, ta2 = jax.lax.cond(d == 0, leader_solve, idle, None)
         Ra2, ta2 = jax.lax.psum((Ra2, ta2), axis)
 
-        # --- local rigid propagation (zero communication) ------------------
-        Ra2_loc = jax.lax.dynamic_slice_in_dim(Ra2, d * A_loc, A_loc, 0)
-        ta2_loc = jax.lax.dynamic_slice_in_dim(ta2, d * A_loc, A_loc, 0)
-        RaI, taI = se3.inverse(Ra_loc, ta_loc)
-        DR, Dt = se3.compose(Ra2_loc, ta2_loc, RaI, taI)
-        a_of_l = jnp.arange(P_loc) // stride
-        R_new = se3.orthonormalize(DR[a_of_l] @ R_loc)
-        t_new = jnp.einsum("nij,nj->ni", DR[a_of_l], t_loc) + Dt[a_of_l]
+        # --- local interpolated propagation (zero communication) -----------
+        # Anchor corrections D_a = T_a' T_a^{-1} are computable for ALL
+        # anchors from the replicated reduced arrays; pose l blends
+        # geodesically between its segment's anchors (same scheme as
+        # posegraph.reduced_solve — rigid attachment leaves a discontinuity
+        # at every segment boundary).
+        RaI, taI = se3.inverse(Ra, ta)
+        DR, Dt = se3.compose(Ra2, ta2, RaI, taI)
+        l_glob = base + jnp.arange(P_loc)
+        a_of_l = jnp.clip(l_glob // stride, 0, n_anchors - 1)
+        a_next = jnp.clip(a_of_l + 1, 0, n_anchors - 1)
+        frac = (l_glob - a_of_l * stride).astype(jnp.float32) / float(stride)
+        dRn, dtn = se3.compose(
+            DR[a_next], Dt[a_next], *se3.inverse(DR[a_of_l], Dt[a_of_l])
+        )
+        xi = se3.log_se3(dRn, dtn) * frac[:, None]
+        bR, bt = se3.exp_se3(xi)
+        DRl, Dtl = se3.compose(bR, bt, DR[a_of_l], Dt[a_of_l])
+        R_new = se3.orthonormalize(DRl @ R_loc)
+        t_new = jnp.einsum("nij,nj->ni", DRl, t_loc) + Dtl
         live = (base + jnp.arange(P_loc)) < n_active
         return (
             jnp.where(live[:, None, None], R_new, R_loc),

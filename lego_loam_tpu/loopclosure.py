@@ -85,7 +85,10 @@ def icp_point2point(
         fit = jnp.sum(d2 * w) / wsum
         frac = jnp.sum(w) / jnp.maximum(jnp.sum(src_mask), 1)
         step = jnp.linalg.norm(dt) + jnp.linalg.norm(se3.log_so3(dR))
-        done = step < 1e-6
+        # 0.1 mm step = converged for 0.2 m-leaf clouds (1e-6 made every
+        # loop attempt burn its full iteration budget — measured 30/30
+        # iterations and 440 ms per attempt on the campus run).
+        done = step < 1e-4
         return it + 1, R_new, t_new, done, fit, frac
 
     it, R, t, done, fit, frac = jax.lax.while_loop(
@@ -146,22 +149,27 @@ def coarse_align_2d(
 
     yaws = (jnp.arange(n_yaw) - (n_yaw - 1) / 2.0) * yaw_step
 
-    def score_yaw(yaw):
+    def src_grid(yaw):
         c, s = jnp.cos(yaw), jnp.sin(yaw)
         xr = c * src_xyz[:, 0] - s * src_xyz[:, 1]
         yr = s * src_xyz[:, 0] + c * src_xyz[:, 1]
-        src_g = grid_of(jnp.stack([xr, yr], axis=-1), src_mask)
-        # correlation over integer shifts: out[dy, dx] = sum_u tgt[u] *
-        # src[u - d]  (conv with the flipped kernel == correlation)
-        out = jax.lax.conv_general_dilated(
-            tgt_g[None, None],
-            src_g[None, None],
-            window_strides=(1, 1),
-            padding=[(S, S), (S, S)],
-        )[0, 0]
-        return out  # (2S+1, 2S+1)
+        return grid_of(jnp.stack([xr, yr], axis=-1), src_mask)
 
-    scores = jax.vmap(score_yaw)(yaws)  # (n_yaw, 2S+1, 2S+1)
+    src_gs = jax.vmap(src_grid)(yaws)  # (n_yaw, N, N)
+
+    # Correlation over integer shifts as ONE matmul: an N x N kernel fed to
+    # XLA's conv lowers to per-shift dot products of tiny operands (measured
+    # 116 ms per attempt); instead gather the (2S+1)^2 shifted target
+    # windows into an im2col matrix and hit the MXU once —
+    # scores[d, yaw] = vec(tgt_window_d) . vec(src_yaw).
+    tp = jnp.pad(tgt_g, S)
+    win_rows = jnp.arange(2 * S + 1)[:, None] + jnp.arange(N)[None, :]
+    rw = tp[win_rows]  # (2S+1, N, N+2S)
+    cw = rw[:, :, win_rows]  # (2S+1, N, 2S+1, N)
+    W = cw.transpose(0, 2, 1, 3).reshape((2 * S + 1) ** 2, N * N)
+    scores = (W @ src_gs.reshape(n_yaw, -1).T).T.reshape(
+        n_yaw, 2 * S + 1, 2 * S + 1
+    )
     flat_idx = jnp.argmax(scores)
     iy = flat_idx // ((2 * S + 1) * (2 * S + 1))
     rem = flat_idx % ((2 * S + 1) * (2 * S + 1))

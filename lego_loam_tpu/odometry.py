@@ -40,24 +40,27 @@ from .types import FeatureCloud, ScanFeatures
 _BIG = np.float32(1e30)  # np: module-level jnp constants init the backend at import
 
 
-def _apply_motion(M_R, M_t, cloud: FeatureCloud):
+def warp_points(M_R, M_t, xyz, s):
     """q_i = exp(s_i log M) p_i, component-wise Rodrigues.
 
-    Per-point (N,3,3) interpolated rotation matrices pad their trailing dims
-    to full TPU tiles; the axis is shared across points (only the angle
-    scales with s), so everything stays in (N,) planes."""
+    Per-point (N,3,3) interpolated rotation matrices (se3.interp) pad their
+    trailing dims to full TPU tiles — a ~40x HBM blowup and tiny-matmul
+    einsums (measured: the interp-matrix deskew path cost 43% of total
+    frame time, 42 -> 74 scans/s with warping off). The axis is shared
+    across points (only the angle scales with s), so everything stays in
+    (N,) component planes."""
     xi = se3.log_se3(M_R, M_t)
     w, v = xi[:3], xi[3:]
     theta = jnp.linalg.norm(w)
     safe = theta > 1e-9
     k = jnp.where(safe, w / jnp.maximum(theta, 1e-12), jnp.zeros(3))
     kx, ky, kz = k[0], k[1], k[2]
-    s_ = cloud.rel_time
+    s_ = s
     th = s_ * theta
     ct = jnp.cos(th)
     st = jnp.sin(th)
 
-    px, py, pz = cloud.xyz[:, 0], cloud.xyz[:, 1], cloud.xyz[:, 2]
+    px, py, pz = xyz[:, 0], xyz[:, 1], xyz[:, 2]
     kdotp = kx * px + ky * py + kz * pz
     cx = ky * pz - kz * py
     cy = kz * px - kx * pz
@@ -72,8 +75,11 @@ def _apply_motion(M_R, M_t, cloud: FeatureCloud):
     svx = s_ * v[0]
     svy = s_ * v[1]
     svz = s_ * v[2]
-    A = one_ct / jnp.maximum(th, 1e-12) * safe
-    B = (th - st) / jnp.maximum(th, 1e-12) * safe
+    # Sign-preserving safe divide: s may be NEGATIVE (to_scan_end warps by
+    # rel_time - 1), so clamping th from below would blow A/B up by 1e12.
+    den = jnp.where(jnp.abs(th) > 1e-12, th, 1.0)
+    A = one_ct / den * safe
+    B = (th - st) / den * safe
     kxsx = ky * svz - kz * svy
     kxsy = kz * svx - kx * svz
     kxsz = kx * svy - ky * svx
@@ -83,6 +89,10 @@ def _apply_motion(M_R, M_t, cloud: FeatureCloud):
     tz = svz + A * kxsz + B * (kz * kdots - svz)
 
     return jnp.stack([rx + tx, ry + ty, rz + tz], axis=-1)
+
+
+def _apply_motion(M_R, M_t, cloud: FeatureCloud):
+    return warp_points(M_R, M_t, cloud.xyz, cloud.rel_time)
 
 
 # ---------------------------------------------------------------------------
@@ -114,6 +124,37 @@ def _robust_weight(dist, ok, slope):
     return 1.0 - (slope / scale) * a
 
 
+def _nn5(q_xyz, target: FeatureCloud, cfg):
+    """Exact 5-NN of q_xyz in the masked target -> (idx (Q,5), d2 (Q,5)).
+
+    TPU: the Pallas streaming top-k kernel (ops/pallas_knn.py, groups=1 =
+    exact) — a full lax.top_k over the (Q, T) matrix lowers to an
+    O(T log T) XLA sort per refresh, measured 4.6 ms and the single largest
+    op in the frame; approx_min_k was tried and its ~0.95 recall poisoned
+    the 5-support fits (campus odometry drift 11 m -> 19 m). Shapes are
+    padded to the kernel's (512, 2048) tile multiples; padded targets are
+    masked out, padded queries sliced off. CPU/tests: exact top_k."""
+    import jax as _jax
+
+    T = target.xyz.shape[0]
+    if _jax.default_backend() == "tpu" and cfg.mapping.nn_backend != "xla":
+        from .ops.pallas_knn import pallas_topk_l2
+
+        Q = q_xyz.shape[0]
+        padQ = (-Q) % 512
+        padT = (-T) % 2048
+        qp = jnp.pad(q_xyz, ((0, padQ), (0, 0)))
+        tp = jnp.pad(target.xyz, ((0, padT), (0, 0)))
+        tm = jnp.pad(target.mask, (0, padT))
+        idx, d2 = pallas_topk_l2(qp, tp, tm, k=5, groups=1)
+        return jnp.clip(idx[:Q], 0, T - 1), d2[:Q]
+    masked = jnp.where(
+        target.mask[None, :], pairwise_sqdist(q_xyz, target.xyz), _BIG
+    )
+    neg, idx = jax.lax.top_k(-masked, 5)
+    return idx, -neg
+
+
 def corner_search5(q_xyz, query: FeatureCloud, target: FeatureCloud, cfg):
     """Top-5 NN in the corner target for the covariance line fit.
 
@@ -125,12 +166,8 @@ def corner_search5(q_xyz, query: FeatureCloud, target: FeatureCloud, cfg):
     gate (same construction as the mapping stage's _corner_fit,
     mapOptmization.cpp:1283-1333) rejects non-collinear neighborhoods."""
     o = cfg.odometry
-    d2 = pairwise_sqdist(q_xyz, target.xyz)
-    masked = jnp.where(
-        target.mask[None, :] & query.mask[:, None], d2, _BIG
-    )
-    neg, idx = jax.lax.top_k(-masked, 5)
-    ok = query.mask & (-neg[:, 4] < o.corner_nn_max_dist ** 2)
+    idx, d5 = _nn5(q_xyz, target, cfg)
+    ok = query.mask & (d5[:, 4] < o.corner_nn_max_dist ** 2)
     return idx, ok
 
 
@@ -251,12 +288,8 @@ def surf_search5(q_xyz, query: FeatureCloud, target: FeatureCloud, cfg):
     (measured: removes a deterministic -0.03 deg/frame pitch bias). One
     top_k also beats three masked argmin sweeps on TPU."""
     o = cfg.odometry
-    d2 = pairwise_sqdist(q_xyz, target.xyz)
-    masked = jnp.where(
-        target.mask[None, :] & query.mask[:, None], d2, _BIG
-    )
-    neg, idx = jax.lax.top_k(-masked, 5)
-    ok = query.mask & (-neg[:, 4] < o.surf_nn_max_dist ** 2)
+    idx, d5 = _nn5(q_xyz, target, cfg)
+    ok = query.mask & (d5[:, 4] < o.surf_nn_max_dist ** 2)
     return idx, ok
 
 
@@ -558,9 +591,9 @@ def two_step_odometry(
 
 def to_scan_end(cloud: FeatureCloud, M_R, M_t) -> FeatureCloud:
     """Re-express feature points in the scan-end frame (≙ TransformToEnd,
-    featureAssociation.cpp:1414-1490): apply interp(M, s - 1)."""
-    Ri, ti = se3.interp(M_R, M_t, cloud.rel_time - 1.0)
-    xyz = jnp.einsum("nij,nj->ni", Ri, cloud.xyz) + ti
+    featureAssociation.cpp:1414-1490): apply interp(M, s - 1) — via the
+    component-plane warp, NOT per-point interp matrices (see warp_points)."""
+    xyz = warp_points(M_R, M_t, cloud.xyz, cloud.rel_time - 1.0)
     return cloud.replace(
         xyz=jnp.where(cloud.mask[:, None], xyz, 0.0),
         rel_time=jnp.ones_like(cloud.rel_time),

@@ -189,6 +189,7 @@ class LegoLoamPipeline:
         self._linfo_q: list = []
         self._attempt_pending = None
         self._solve_pending = None
+        self._check_seq = 0
         # Per-check diagnostics trail (nearest-candidate distance etc.), so
         # "0 closures" in a run artifact is explainable.
         self.loop_diag: list[dict] = []
@@ -958,18 +959,25 @@ class LegoLoamPipeline:
            diagnostic is picked up at a later check.
 
         The steady-state cost (no candidate in radius) is ONE deferred
-        4-float device_get per check. `draining` (finalize) processes
-        everything immediately instead of one-check-later."""
+        4-float device_get per check. Every pickup is deferred TWO checks
+        (not one): the host runs ahead of the device by about a chunk, so a
+        result produced at the end of chunk N-1 is typically still executing
+        when chunk N is dispatched — reading it then would cap the host's
+        run-ahead at one chunk and stall the device between chunks. Two
+        checks of latency is immaterial (the reference's loop thread is
+        asynchronous and slower). `draining` (finalize) processes everything
+        immediately."""
         m = self.cfg.mapping
+        self._check_seq += 1
 
-        self._pickup_solve()
-        self._pickup_attempt()
+        self._pickup_solve(draining)
+        self._pickup_attempt(draining)
 
         min_q = 1 if draining else 2
         if len(self._linfo_q) < min_q:
             return
         pend = self._linfo_q.pop(0)
-        del self._linfo_q[:-1]  # never let the backlog grow past one
+        del self._linfo_q[:-2]  # never let the backlog grow
         cand_slot, cand_dist, n_kf, cur_slot = [
             float(v) for v in jax.device_get(pend)
         ]
@@ -999,17 +1007,19 @@ class LegoLoamPipeline:
             jnp.int32(int(cur_slot)),
             jnp.int32(n_kf),
         )
-        self._attempt_pending = (*out, self.loop_diag[-1])
+        self._attempt_pending = (*out, self.loop_diag[-1], self._check_seq)
         if draining:
-            self._pickup_attempt()
-            self._pickup_solve()
+            self._pickup_attempt(True)
+            self._pickup_solve(True)
 
-    def _pickup_attempt(self):
+    def _pickup_attempt(self, draining: bool = False):
         """Read a finished attempt program; on acceptance, append the factor
         (host mirror + device buffer) and dispatch the graph solve."""
         if self._attempt_pending is None:
             return
-        flags_d, R_d, t_d, diag = self._attempt_pending
+        flags_d, R_d, t_d, diag, seq = self._attempt_pending
+        if not draining and self._check_seq < seq + 1:
+            return
         self._attempt_pending = None
         flags, R_rel, t_rel = jax.device_get((flags_d, R_d, t_d))
         m = self.cfg.mapping
@@ -1062,12 +1072,14 @@ class LegoLoamPipeline:
             kf_R=newR, kf_t=newt, R_map=R_map, t_map=t_map,
             submap_center=sc, submap_n_kf=sn,
         )
-        self._solve_pending = (diag, diag_ref)
+        self._solve_pending = (diag, diag_ref, self._check_seq)
 
-    def _pickup_solve(self):
+    def _pickup_solve(self, draining: bool = True):
         if self._solve_pending is None:
             return
-        diag_d, diag_ref = self._solve_pending
+        diag_d, diag_ref, seq = self._solve_pending
+        if not draining and self._check_seq < seq + 1:
+            return
         self._solve_pending = None
         ok, c0, c1, moved = [float(v) for v in jax.device_get(diag_d)]
         if diag_ref is not None:

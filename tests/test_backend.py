@@ -152,6 +152,7 @@ def test_pose_graph_closes_loop(cfg):
     assert max_err < drift_before * 0.5, (drift_before, max_err)
 
 
+@pytest.mark.slow
 def test_pipeline_mapping_ate(cfg):
     """Full odometry+mapping on a short synthetic drive."""
     from lego_loam_tpu.io.synthetic import render_scan, straight_trajectory
@@ -178,6 +179,7 @@ def test_pipeline_mapping_ate(cfg):
     assert int(pipe.bstate.n_kf) == n
 
 
+@pytest.mark.slow
 def test_keyframe_ring_saturation():
     """A run past 3x keyframe capacity stays consistent: the store is a true
     ring (newest K keyframes resident, oldest retired), the odometry chain

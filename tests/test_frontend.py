@@ -10,6 +10,8 @@ from lego_loam_tpu.frontend import init_odometry_state, make_frontend, stage1
 from lego_loam_tpu.io.synthetic import render_scan, straight_trajectory
 from lego_loam_tpu.ops.features import extract_features
 
+pytestmark = pytest.mark.slow  # multi-minute e2e drive
+
 
 def prep(cfg, pts):
     mask = np.isfinite(pts).all(axis=1)

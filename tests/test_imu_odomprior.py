@@ -69,6 +69,7 @@ def test_odom_prior_motion_lever_arm():
     np.testing.assert_allclose(np.asarray(dt), expect, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_override_mode_pins_motion():
     """'override' mode must reproduce the reference ablation: solved motion
     replaced by the odometry prior."""

@@ -121,6 +121,7 @@ def test_kitti_bin(tmp_path):
     assert scans[2][1] == pytest.approx(0.2)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     import dataclasses
     from lego_loam_tpu import checkpoint

@@ -5,6 +5,8 @@ import dataclasses
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute e2e drive
+
 
 def loop_cfg():
     import sys, os

@@ -52,6 +52,7 @@ def test_native_feeder_streams_kitti(tmp_path):
     assert seen == [0, 1, 2]
 
 
+@pytest.mark.slow
 def test_save_map_products(tmp_path):
     import jax
     from lego_loam_tpu.io.synthetic import render_scan

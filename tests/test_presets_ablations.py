@@ -9,6 +9,8 @@ import pytest
 
 from lego_loam_tpu.config import get_config, hdl64e, vlp16, vlp32c
 
+pytestmark = pytest.mark.slow  # multi-minute e2e drive
+
 
 def test_presets_mirror_reference_yaml():
     """Spot-check the values against loam_config.yaml."""

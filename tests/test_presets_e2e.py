@@ -11,6 +11,8 @@ import dataclasses
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute e2e drive
+
 
 def _shrunk(cfg):
     """CPU-sized capacities (mirrors test_backend.small_cfg)."""

@@ -12,6 +12,8 @@ from lego_loam_tpu.io.synthetic import render_scan, straight_trajectory
 from lego_loam_tpu.pipeline import LegoLoamPipeline
 from lego_loam_tpu.relocalize import localize_scan, map_state_from_cloud
 
+pytestmark = pytest.mark.slow  # multi-minute e2e drive
+
 
 def _small(cfg):
     return dataclasses.replace(

@@ -8,6 +8,8 @@ import numpy as np
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute e2e drive
+
 sys.path.insert(0, os.path.dirname(__file__))
 
 

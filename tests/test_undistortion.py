@@ -19,6 +19,8 @@ from lego_loam_tpu.io.synthetic import straight_trajectory, swept_scan_sequence
 from lego_loam_tpu.pipeline import LegoLoamPipeline
 from lego_loam_tpu.utils.metrics import ate_rmse
 
+pytestmark = pytest.mark.slow  # multi-minute e2e drive
+
 
 def _small(cfg):
     return dataclasses.replace(

@@ -272,10 +272,11 @@ def attempt_loop_closure(
         frac >= m.loop_coarse_min_frac
     )
 
+    st = max(m.loop_icp_src_stride, 1)
     src_s = (
-        jnp.einsum("ij,nj->ni", cur_R, kf_surf[cur_slot]) + c_cur[None, :]
+        jnp.einsum("ij,nj->ni", cur_R, kf_surf[cur_slot, ::st]) + c_cur[None, :]
     )
-    src_s_mask = kf_surf_mask[cur_slot]
+    src_s_mask = kf_surf_mask[cur_slot, ::st]
 
     def do_icp(_):
         # Stage 2: surf ICP from the coarse init with a tight gate.

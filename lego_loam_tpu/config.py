@@ -383,6 +383,27 @@ class MappingConfig:
     chain_rot_var: float = 1e-5
     chain_trans_var: float = 1e-3
     loop_noise_scale: float = 0.01
+    # Variance FLOOR for loop factors. An ICP fitness of 0.005 with
+    # loop_noise_scale alone claims 7 mm pose std — but the clouds are
+    # 0.2-0.4 m voxelized, so the measurement is honestly good to ~5 cm.
+    # Overweighted loops (vs the sqrt(700*1e-3)=0.8 m/lap chain) force
+    # meters of whole-history redistribution whenever two laps' closures
+    # disagree by centimeters: measured on the 29-lap Stevens run as
+    # graph_max_move growing 0.08 -> 8 m, map blur (cf_mean 0.066 -> 0.13),
+    # then zero accepted closures past lap 17 and 23 m divergence.
+    loop_var_floor: float = 2.5e-3
+    # Apply the whole-graph correction only every Nth accepted closure
+    # (factors always accumulate; finalize() always solves). Every live
+    # application rewrites all keyframe poses; at Stevens scale (29 laps,
+    # ~120 closures) per-accept application churned the map with ~120
+    # history rewrites whose residual propagation artifacts accumulated
+    # into inter-lap blur (cf_mean 0.066 -> 0.13) until scan-to-map and
+    # closure verification both fell off a cliff at lap ~17 — in every
+    # stride/weighting configuration tried. The reference's iSAM2 updates
+    # per accept, but its Bayes-tree updates are exact and its workload saw
+    # ~minutes between closures; batching is the honest fixed-shape
+    # equivalent.
+    loop_solve_every_accepts: int = 8
     # Anchor-segment reduced pose-graph solve (posegraph.reduced_solve, the
     # production loop-closure path — ≙ iSAM2's incrementality budget,
     # mapOptmization.cpp:63-66): segments of `stride` keyframes are composed

@@ -190,6 +190,7 @@ class LegoLoamPipeline:
         self._attempt_pending = None
         self._solve_pending = None
         self._check_seq = 0
+        self._solved_at = 0  # len(loop_factors) at the last graph solve
         # Per-check diagnostics trail (nearest-candidate distance etc.), so
         # "0 closures" in a run artifact is explainable.
         self.loop_diag: list[dict] = []
@@ -747,7 +748,7 @@ class LegoLoamPipeline:
         for k, f in enumerate(live):
             i[k], j[k] = f.i, f.j
             R[k], t[k] = f.R, f.t
-            info[k] = 1.0 / max(f.fitness * m.loop_noise_scale, 1e-6)
+            info[k] = 1.0 / max(f.fitness * m.loop_noise_scale, m.loop_var_floor)
             mask[k] = True
         self._loop_buf = Factors(
             i=jnp.asarray(i), j=jnp.asarray(j), R=jnp.asarray(R),
@@ -1041,7 +1042,8 @@ class LegoLoamPipeline:
             )
         )
         info = np.full(
-            (6,), 1.0 / max(fitness * m.loop_noise_scale, 1e-6), np.float32
+            (6,), 1.0 / max(fitness * m.loop_noise_scale, m.loop_var_floor),
+            np.float32
         )
         k = self._loop_write % m.max_loop_factors
         self._loop_write += 1
@@ -1054,6 +1056,9 @@ class LegoLoamPipeline:
         self._loop_cooldown_until = (
             self.frame_idx + m.loop_accept_cooldown
         )
+        every = max(m.loop_solve_every_accepts, 1)
+        if len(self.loop_factors) % every and not draining:
+            return  # factor accumulated; solve at the Nth accept / drain
         if self._solve_graph_sharded is not None:
             self._optimize_graph()
         else:
@@ -1063,6 +1068,7 @@ class LegoLoamPipeline:
         """Dispatch the reduced anchor-segment solve (device-side apply
         gate); the diagnostic is read at a later check."""
         bs = self.bstate
+        self._solved_at = len(self.loop_factors)
         newR, newt, R_map, t_map, sc, sn, diag = self._solve_reduced(
             bs.kf_R, bs.kf_t, bs.kf_rel_R, bs.kf_rel_t, bs.n_kf,
             bs.R_map, bs.t_map, bs.submap_center, bs.submap_n_kf,
@@ -1098,6 +1104,14 @@ class LegoLoamPipeline:
             return
         self._linfo_q.append(self._loopinfo_probe(self.bstate))
         self._try_loop_closure(draining=True)
+        if len(self.loop_factors) > self._solved_at:
+            # factors accumulated since the last batched application
+            if self._solve_graph_sharded is not None:
+                self._optimize_graph()
+            else:
+                self._dispatch_solve(
+                    self.loop_diag[-1] if self.loop_diag else None
+                )
         self._pickup_solve()
 
     def _optimize_graph(self):
@@ -1117,6 +1131,7 @@ class LegoLoamPipeline:
         self._optimize_graph_sharded()
 
     def _optimize_graph_sharded(self):
+        self._solved_at = len(self.loop_factors)
         """Relinearized whole-graph GN through the mesh-sharded PCG solver
         (distributed.sharded_pose_graph_solver); host-assembled factors.
         Factor indices address ring SLOTS; the odometry chain is built in
@@ -1155,7 +1170,7 @@ class LegoLoamPipeline:
             lj[k] = slots[f.j - base]
             lR[k] = f.R
             lt[k] = f.t
-            loop_info[k] = 1.0 / max(f.fitness * m.loop_noise_scale, 1e-6)
+            loop_info[k] = 1.0 / max(f.fitness * m.loop_noise_scale, m.loop_var_floor)
         chain_info = np.tile(
             np.array(
                 [[1.0 / m.chain_rot_var] * 3 + [1.0 / m.chain_trans_var] * 3],

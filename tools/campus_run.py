@@ -105,6 +105,10 @@ def main():
     ap.add_argument("--render-variants", type=int, default=3,
                     help="noise instances of the per-lap render to tile")
     ap.add_argument("--json-out", default="CAMPUS_RUN.json")
+    ap.add_argument("--stride", type=int, default=None,
+                    help="override mapping.posegraph_anchor_stride")
+    ap.add_argument("--loop-cap", type=int, default=None,
+                    help="override mapping.max_loop_factors")
     args = ap.parse_args()
 
     import jax
@@ -121,13 +125,16 @@ def main():
     from lego_loam_tpu.utils.metrics import ate_rmse, rpe_rmse
 
     cfg = vlp16()
+    mkw = dict(
+        enable_loop_closure=not args.no_loop,
+        max_keyframes=args.max_keyframes,
+    )
+    if args.stride:
+        mkw["posegraph_anchor_stride"] = args.stride
+    if args.loop_cap:
+        mkw["max_loop_factors"] = args.loop_cap
     cfg = dataclasses.replace(
-        cfg,
-        mapping=dataclasses.replace(
-            cfg.mapping,
-            enable_loop_closure=not args.no_loop,
-            max_keyframes=args.max_keyframes,
-        ),
+        cfg, mapping=dataclasses.replace(cfg.mapping, **mkw)
     )
     if args.imu:
         cfg = dataclasses.replace(
@@ -147,8 +154,17 @@ def main():
     poses = lap_trajectory(args.laps, args.straight, args.turn)
     n = len(poses)
     lap_len = n // args.laps
-    world = campus_world(lap_trajectory(1, args.straight, args.turn))
-    print(f"course: {n} frames, {args.laps} laps of {lap_len}", flush=True)
+    # World density scales with the course: ~1 building / 10 m of perimeter
+    # keeps the feature diet constant whether the lap is 250 or 2500 frames.
+    perimeter = lap_len * 0.12
+    world = campus_world(
+        lap_trajectory(1, args.straight, args.turn),
+        n_buildings=max(14, int(perimeter / 10)),
+        n_pillars=max(22, int(perimeter / 6)),
+    )
+    print(f"course: {n} frames, {args.laps} laps of {lap_len} "
+          f"(~{perimeter:.0f} m/lap, {len(world.boxes)} buildings)",
+          flush=True)
 
     # Per-lap render with noise variants, tiled across laps (identical
     # poses each lap). Variant lap v renders frames 0..lap_len of lap 1

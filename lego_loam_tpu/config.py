@@ -228,6 +228,17 @@ class OdometryConfig:
     odom_prior_mode: str = "off"
     # Lever arm of the wheel-odom frame (featureAssociation.cpp:2396)
     odom_lever_arm: Tuple[float, float, float] = (0.08, 0.0, 0.0377)
+    # IMU attitude anchor: per-frame fraction of the attitude error between
+    # the solved world orientation and the orientation-resolved IMU (AHRS)
+    # attitude that is blended back into the solve (≙ the reference
+    # consuming absolute roll/pitch/yaw from its IMU messages,
+    # featureAssociation.cpp:323-334 — LOAM-family systems fold that
+    # attitude into the final transform). Geometric decay bounds yaw drift
+    # at ~(per-frame yaw bias)/weight instead of integrating without bound:
+    # pure-lidar yaw drift on a sparse 300 m campus lap was ~5-10 deg/lap,
+    # which put every revisit outside any loop-closure search basin. Active
+    # only when IMU samples are fed (use_imu_undistortion).
+    imu_attitude_weight: float = 0.2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -355,6 +366,18 @@ class MappingConfig:
     # mode).
     loop_coarse_min_frac: float = 0.4
     loop_coarse_min_score: float = 5.0
+    # Coarse-search basin. A revisit after a long lap arrives with the
+    # INTEGRATED inter-lap drift: +-6 deg x +-8 m (the r4 values) found
+    # candidates on a 100 m lap but missed every one on a 300 m lap
+    # (measured: 130/130 attempts failed the coarse gate at frac ~0.25 with
+    # true offsets beyond the basin). +-15 deg x +-12 m covers the drift of
+    # a ~300 m lap at the odometry's measured error rate; cost is one
+    # (shifts^2 x cells) @ (cells x yaws) matmul either way.
+    loop_coarse_n_yaw: int = 21
+    loop_coarse_yaw_step_deg: float = 1.5
+    loop_coarse_extent: float = 24.0
+    loop_coarse_cell: float = 0.5
+    loop_coarse_search: float = 12.0
     loop_icp_corr_dist: float = 2.0
     # Acceptance gates on the refined loop ICP beyond the reference's raw
     # fitness threshold. The fitness of a CORRECT alignment scales with the
@@ -421,7 +444,12 @@ class MappingConfig:
     # full dense LU (~40 ms at 640 anchors on the v5e).
     posegraph_gn_iters: int = 2
     posegraph_trust_rot: float = 0.3
-    posegraph_trust_trans: float = 5.0
+    # Per-anchor translation cap per GN iteration. The exact LU solve does
+    # not produce runaway directions (that was the partially-converged-PCG
+    # failure mode); the cost-decrease gate is the real armor, and a first
+    # closure after a long uncorrected stretch legitimately needs tens of
+    # meters.
+    posegraph_trust_trans: float = 20.0
     # Loop-closure ICP iteration budget (separate from the generic
     # icp_max_iterations): the coarse 2-D alignment already recovered the
     # inter-lap drift, so the refinement converges in a handful of steps;

@@ -143,12 +143,15 @@ def frontend_prepass(
 
 def frontend_solve(
     feats: ScanFeatures, state: OdometryState, cfg: LegoLoamConfig,
-    odom_prior=None,
+    odom_prior=None, imu_att=None,
 ):
     """Sequential front-end half: two-step scan-to-scan GN, world-pose
     integration, and the scan-end buffer swap (≙ updateTransformation /
     integrateTransformation / publishCloudsLast). Depends on the previous
-    scan's state, so the pipeline runs it inside the lax.scan."""
+    scan's state, so the pipeline runs it inside the lax.scan.
+
+    imu_att: optional ((3,3) R, () valid) — the orientation-resolved IMU
+    attitude at scan end; see OdometryConfig.imu_attitude_weight."""
     mode = cfg.odometry.odom_prior_mode
     if odom_prior is not None and mode == "init":
         M_R0, M_t0 = odom_prior
@@ -169,6 +172,22 @@ def frontend_solve(
         # updateTransformation() and overwrites the LM result
         # (featureAssociation.cpp:2789-2790).
         M_R, M_t = odom_prior
+
+    # IMU attitude anchor (≙ the reference folding AHRS roll/pitch/yaw into
+    # its transform): pull the composed world attitude a fraction toward
+    # the IMU's absolute attitude, re-expressed as a correction on M so the
+    # warm start / deskew / state stay self-consistent.
+    w_att = cfg.odometry.imu_attitude_weight
+    if imu_att is not None and w_att > 0:
+        R_att, att_valid = imu_att
+        R_pred = state.R_world @ M_R
+        e = se3.log_so3(R_pred.transpose() @ R_att)
+        w_eff = (
+            w_att
+            * att_valid.astype(jnp.float32)
+            * state.initialized.astype(jnp.float32)
+        )
+        M_R = M_R @ se3.exp_so3(w_eff * e)
 
     # World pose integration: T_w_cur = T_w_prev ∘ M
     R_world, t_world = se3.compose(state.R_world, state.t_world, M_R, M_t)
@@ -260,7 +279,11 @@ def frontend_step(
     replaces the solved motion (the reference's as-committed ablation,
     featureAssociation.cpp:2789-2790), 'off' ignores it."""
     grid, seg, feats = frontend_prepass(points, mask, cfg, key, imu_track)
-    new_state, out = frontend_solve(feats, state, cfg, odom_prior)
+    imu_att = None
+    if imu_track is not None and cfg.pipeline.use_imu_undistortion:
+        last = jnp.maximum(jnp.sum(imu_track.mask) - 1, 0)
+        imu_att = (imu_track.R[last], jnp.any(imu_track.mask))
+    new_state, out = frontend_solve(feats, state, cfg, odom_prior, imu_att)
     out["grid"] = grid
     out["segmented"] = seg
     out["map_outlier_xyz"] = deskew_outliers(

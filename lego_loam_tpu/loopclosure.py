@@ -108,11 +108,11 @@ def coarse_align_2d(
     src_mask,
     tgt_xyz,  # (T, 3) structure points, cand-keyframe-centered
     tgt_mask,
-    n_yaw: int = 9,
+    n_yaw: int = 21,
     yaw_step: float = 1.5 * jnp.pi / 180.0,
     extent: float = 24.0,
     cell: float = 0.5,
-    search: float = 8.0,
+    search: float = 12.0,
 ):
     """Coarse (yaw, dx, dy) alignment by 2-D occupancy correlation.
 
@@ -266,6 +266,11 @@ def attempt_loop_closure(
         kf_corner_mask[cur_slot],
         tgt_c.reshape(-1, 3),
         kf_corner_mask[idx].reshape(-1),
+        n_yaw=m.loop_coarse_n_yaw,
+        yaw_step=m.loop_coarse_yaw_step_deg * jnp.pi / 180.0,
+        extent=m.loop_coarse_extent,
+        cell=m.loop_coarse_cell,
+        search=m.loop_coarse_search,
     )
     frac = score / jnp.maximum(n_src, 1.0)
     pass1 = (score >= m.loop_coarse_min_score) & (

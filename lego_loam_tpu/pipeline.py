@@ -441,7 +441,13 @@ class LegoLoamPipeline:
             _grid, seg, feats = frontend_prepass(
                 pts, mask, cfg, key, imu_track=imu_track, grid=grid_in
             )
-            fstate, out = frontend_solve(feats, fstate, cfg, odom_prior)
+            imu_att = None
+            if imu_track is not None:
+                last = jnp.maximum(jnp.sum(imu_track.mask) - 1, 0)
+                imu_att = (imu_track.R[last], jnp.any(imu_track.mask))
+            fstate, out = frontend_solve(
+                feats, fstate, cfg, odom_prior, imu_att
+            )
             # Mapping consumes DE-SKEWED (scan-end) clouds — see
             # frontend_solve's map_* outputs.
             from .frontend import deskew_outliers

@@ -109,6 +109,13 @@ def main():
                     help="override mapping.posegraph_anchor_stride")
     ap.add_argument("--loop-cap", type=int, default=None,
                     help="override mapping.max_loop_factors")
+    ap.add_argument("--radius", type=float, default=None,
+                    help="override mapping.history_keyframe_search_radius")
+    ap.add_argument("--time-gap", type=float, default=None,
+                    help="override mapping.loop_time_gap (candidates must "
+                         "be at least this many seconds older; set to ~60%% "
+                         "of the lap time so adjacent-side corner neighbors "
+                         "stop crowding out true revisits)")
     args = ap.parse_args()
 
     import jax
@@ -133,6 +140,10 @@ def main():
         mkw["posegraph_anchor_stride"] = args.stride
     if args.loop_cap:
         mkw["max_loop_factors"] = args.loop_cap
+    if args.radius:
+        mkw["history_keyframe_search_radius"] = args.radius
+    if args.time_gap:
+        mkw["loop_time_gap"] = args.time_gap
     cfg = dataclasses.replace(
         cfg, mapping=dataclasses.replace(cfg.mapping, **mkw)
     )

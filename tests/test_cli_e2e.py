@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 pytestmark = pytest.mark.slow
 
 
-def _fixture_scans(frames=14):
+def _fixture_scans(frames=10):
     from make_fixtures import render_fixture_scans
 
     from lego_loam_tpu.config import vlp16
@@ -29,7 +29,7 @@ def _run_cli(args, cwd):
     r = subprocess.run(
         [sys.executable, "-m", "lego_loam_tpu.run", "--platform", "cpu",
          *args],
-        capture_output=True, text=True, timeout=1500, env=env,
+        capture_output=True, text=True, timeout=3000, env=env,
         cwd=cwd,
     )
     assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
@@ -57,10 +57,10 @@ def test_cli_kitti_e2e(tmp_path):
     write_kitti(str(seq), scans, times)
     out = tmp_path / "out_kitti"
     _run_cli(
-        ["--kitti", str(seq), "--out", str(out), "--max-frames", "12"],
+        ["--kitti", str(seq), "--out", str(out), "--max-frames", "8"],
         cwd=os.path.dirname(os.path.dirname(__file__)),
     )
-    _check_artifacts(str(out), 10)
+    _check_artifacts(str(out), 7)
 
 
 def test_cli_rosbag_e2e(tmp_path):
@@ -71,10 +71,10 @@ def test_cli_rosbag_e2e(tmp_path):
     write_rosbag2(str(bag), scans, times)
     out = tmp_path / "out_bag"
     _run_cli(
-        ["--rosbag", str(bag), "--out", str(out), "--max-frames", "12"],
+        ["--rosbag", str(bag), "--out", str(out), "--max-frames", "8"],
         cwd=os.path.dirname(os.path.dirname(__file__)),
     )
-    _check_artifacts(str(out), 10)
+    _check_artifacts(str(out), 7)
 
 
 def test_checkpoint_midrun_resume(tmp_path):

@@ -1001,7 +1001,10 @@ class LegoLoamPipeline:
         )
         if not has_cand or cand_dist >= m.history_keyframe_search_radius:
             return
-        if self.frame_idx < self._loop_cooldown_until:
+        # Cooldowns budget attempts DURING the stream; the end-of-stream
+        # drain has nothing left to budget — a run that ends right as it
+        # re-enters a known place must still close the loop.
+        if not draining and self.frame_idx < self._loop_cooldown_until:
             return
         if self._attempt_pending is not None:
             return

@@ -48,8 +48,17 @@ def test_short_circle_closes_loop_chunked():
             # the fork's active loop profile (VLP-32c, loam_config.yaml:
             # 69-135) gates at 1.5. Sparse 0.2 m-DS ring clouds converge to
             # ~0.5 mean-square point-to-point residual even when perfectly
-            # aligned, so 0.5 rejects true loops.
+            # aligned, so 0.5 rejects true loops. loop_fitness_leaf_scale
+            # must be lifted too (its production value clamps the effective
+            # gate to 0.12 — right for the dense campus clouds, wrong for
+            # this 40-frame sparse-ring stress test), and the ICP gets its
+            # full budget (production trims iterations/source for speed;
+            # this test's init drift is worst-case for its cloud density).
             history_keyframe_fitness_score=1.5,
+            loop_fitness_leaf_scale=40.0,
+            loop_icp_max_iterations=50,
+            loop_icp_src_stride=1,
+            loop_min_inlier_frac=0.5,
         ),
     )
     # 40 frames at 9.5 deg/frame = full 5 m circle + 2-frame overlap

@@ -110,3 +110,38 @@ def test_mapping_frequency_divider():
     pipe.finalize()
     assert len(pipe.trajectory["positions"]) == 3  # frames 0, 2, 4
     assert len(pipe.odom_positions) == 6
+
+
+def test_full_dof_odometry_ablation():
+    """cfg.odometry.full_dof_odometry lifts the per-stage DOF masks (≙ the
+    reference's full calculateTransformation kept alongside the two-step
+    split, featureAssociation.cpp:2145-2289): both passes solve all six
+    DOFs and the front end still tracks a short drive."""
+    import sys, os
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_backend import small_cfg
+    from lego_loam_tpu.io.synthetic import render_scan, straight_trajectory
+    from lego_loam_tpu.pipeline import LegoLoamPipeline
+
+    cfg = small_cfg()
+    cfg = dataclasses.replace(
+        cfg, odometry=dataclasses.replace(cfg.odometry, full_dof_odometry=True)
+    )
+    poses = straight_trajectory(6, speed=0.2)
+    pipe = LegoLoamPipeline(cfg)
+    for i, (R, t) in enumerate(poses):
+        pipe.process_scan(render_scan(R, t, cfg, noise=0.005, seed=80 + i))
+    pipe.finalize()
+    est = np.asarray(pipe.odom_positions)
+    gt = np.stack([t for _, t in poses])
+    assert np.isfinite(est).all()
+    # The full-DOF variant is EXPECTED to track worse than the masked
+    # two-step split — per-stage DOF masking is LeGO-LOAM's contribution
+    # (ground planes cannot constrain yaw/xy; solving for them anyway lets
+    # the solution wander). The ablation must stay finite and bounded, not
+    # match the split's accuracy.
+    err = float(np.linalg.norm(est - gt, axis=1).max())
+    assert err < 1.5, f"full-DOF odometry diverged: {err:.3f}"

@@ -583,6 +583,12 @@ def vlp32c() -> LegoLoamConfig:
             vertical_angle_bottom=-25.0 * DEG,
             vertical_angle_top=15.0 * DEG,
             use_vlp32c=True,
+            # 32 x 1800 = 57,600 beams/scan: the 32,768 VLP-16 default
+            # TRUNCATED every feed to its first ~18 rows — the upper
+            # (structure-bearing) rows never reached the pipeline and the
+            # corner stage starved (measured: 15 edge candidates vs 317
+            # with the full cloud).
+            max_points=2 ** 16,
         ),
         ground=GroundConfig(angle_threshold=25.0 * DEG),
         features=FeatureConfig(edge_threshold=0.005, surf_threshold=0.005),

@@ -1218,6 +1218,7 @@ class LegoLoamPipeline:
             )
         spec = NamedSharding(self._mesh, P(("graph", "map")))
         rep = NamedSharding(self._mesh, P())
+        factors_rep = factors  # uncommitted copy for the cost probe below
         factors = jax.tree.map(lambda x: jax.device_put(x, spec), factors)
         newR, newt = self._solve_graph_sharded(
             jax.device_put(self.bstate.kf_R, rep),
@@ -1238,9 +1239,13 @@ class LegoLoamPipeline:
 
         if getattr(self, "_graph_cost", None) is None:
             self._graph_cost = jax.jit(graph_cost)
+        # Cost probe with the UNCOMMITTED factor copy: the sharded factors
+        # are committed to the mesh while the keyframe store may live on one
+        # device (shard_backend off), and jit refuses mixed committed
+        # device sets.
         c0, c1, moved = jax.device_get((
-            self._graph_cost(self.bstate.kf_R, self.bstate.kf_t, factors),
-            self._graph_cost(newR, newt, factors),
+            self._graph_cost(self.bstate.kf_R, self.bstate.kf_t, factors_rep),
+            self._graph_cost(newR, newt, factors_rep),
             jnp.max(
                 jnp.where(
                     active, jnp.linalg.norm(newt - self.bstate.kf_t, axis=1), 0.0
